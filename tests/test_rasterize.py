@@ -1,0 +1,206 @@
+"""Rasterizer correctness: parity with a brute-force per-pixel reference renderer,
+gradient flow, and geometric sanity of the projection."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_splat.gs.projection import project_gaussians, quat_to_rotmat
+from tpu_splat.gs.rasterize import (
+    ALPHA_THRESHOLD,
+    MAX_ALPHA,
+    rasterize,
+)
+from tpu_splat.gs.sh import SH_C0, eval_sh_basis
+
+
+def brute_force_raster(means2d, conics, colors, opacities, depths, radii,
+                       width, height, tile_size=16, background=None):
+    """Per-pixel reference compositor (numpy). Applies the same tile-bbox support
+    region as the tile rasterizer so outputs match exactly."""
+    means2d, conics, colors = map(np.asarray, (means2d, conics, colors))
+    opacities, depths, radii = map(np.asarray, (opacities, depths, radii))
+    order = np.argsort(np.where(radii > 0, depths, np.inf), kind="stable")
+    img = np.zeros((height, width, 3))
+    acc_d = np.zeros((height, width))
+    trans = np.ones((height, width))
+    tx_max = -(-width // tile_size)
+    ty_max = -(-height // tile_size)
+    for i in order:
+        if radii[i] <= 0:
+            continue
+        x0 = int(np.clip((means2d[i, 0] - radii[i]) // tile_size, 0, tx_max - 1))
+        x1 = int(np.clip((means2d[i, 0] + radii[i]) // tile_size, 0, tx_max - 1))
+        y0 = int(np.clip((means2d[i, 1] - radii[i]) // tile_size, 0, ty_max - 1))
+        y1 = int(np.clip((means2d[i, 1] + radii[i]) // tile_size, 0, ty_max - 1))
+        for ty in range(y0, y1 + 1):
+            for txx in range(x0, x1 + 1):
+                ys = slice(ty * tile_size, min((ty + 1) * tile_size, height))
+                xs = slice(txx * tile_size, min((txx + 1) * tile_size, width))
+                py, px = np.mgrid[ys, xs]
+                dx = px + 0.5 - means2d[i, 0]
+                dy = py + 0.5 - means2d[i, 1]
+                a, b, c = conics[i]
+                sigma = 0.5 * (a * dx * dx + c * dy * dy) + b * dx * dy
+                alpha = np.minimum(opacities[i] * np.exp(-np.maximum(sigma, 0)), MAX_ALPHA)
+                alpha = np.where((sigma >= 0) & (alpha >= ALPHA_THRESHOLD), alpha, 0.0)
+                w = alpha * trans[ys, xs]
+                img[ys, xs] += w[..., None] * colors[i]
+                acc_d[ys, xs] += w * depths[i]
+                trans[ys, xs] *= 1.0 - alpha
+    if background is not None:
+        img += trans[..., None] * np.asarray(background)
+    return img, 1.0 - trans, acc_d
+
+
+def make_scene(rng, n=50, width=64, height=48):
+    means2d = np.stack(
+        [rng.uniform(-5, width + 5, n), rng.uniform(-5, height + 5, n)], axis=1
+    )
+    # random SPD conics from random covariances
+    L = rng.normal(size=(n, 2, 2)) * 3
+    cov = L @ np.swapaxes(L, 1, 2) + np.eye(2)[None] * 1.0
+    det = cov[:, 0, 0] * cov[:, 1, 1] - cov[:, 0, 1] ** 2
+    conics = np.stack(
+        [cov[:, 1, 1] / det, -cov[:, 0, 1] / det, cov[:, 0, 0] / det], axis=1
+    )
+    mid = 0.5 * (cov[:, 0, 0] + cov[:, 1, 1])
+    lam = mid + np.sqrt(np.maximum(mid**2 - det, 0))
+    radii = np.ceil(3 * np.sqrt(lam))
+    colors = rng.uniform(0, 1, (n, 3))
+    opac = rng.uniform(0.2, 1.0, n)
+    depths = rng.uniform(1, 10, n)
+    return (means2d.astype(np.float32), conics.astype(np.float32),
+            colors.astype(np.float32), opac.astype(np.float32),
+            depths.astype(np.float32), radii.astype(np.float32))
+
+
+class TestRasterizeParity:
+    def test_matches_brute_force(self, rng):
+        args = make_scene(rng, n=80)
+        w, h = 64, 48
+        bg = np.array([0.1, 0.2, 0.3], np.float32)
+        out = rasterize(*[jnp.asarray(a) for a in args], width=w, height=h,
+                        background=jnp.asarray(bg), max_per_tile=128, chunk=32)
+        ref_img, ref_alpha, ref_d = brute_force_raster(*args, width=w, height=h,
+                                                       background=bg)
+        np.testing.assert_allclose(np.asarray(out.color), ref_img, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(out.alpha), ref_alpha, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(out.depth), ref_d, atol=1e-3)
+
+    def test_depth_ordering_occlusion(self):
+        """A nearer opaque gaussian must occlude a farther one."""
+        means2d = jnp.array([[32.0, 24.0], [32.0, 24.0]])
+        conics = jnp.tile(jnp.array([[0.05, 0.0, 0.05]]), (2, 1))
+        colors = jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+        opac = jnp.array([0.95, 0.95])
+        radii = jnp.array([20.0, 20.0])
+        # red at depth 1 (near), green at depth 5
+        out_near_red = rasterize(
+            means2d, conics, colors, opac, jnp.array([1.0, 5.0]), radii,
+            width=64, height=48, max_per_tile=16,
+        )
+        c = np.asarray(out_near_red.color)[24, 32]
+        assert c[0] > 0.9 and c[1] < 0.06
+        # swap depths: green in front
+        out_near_green = rasterize(
+            means2d, conics, colors, opac, jnp.array([5.0, 1.0]), radii,
+            width=64, height=48, max_per_tile=16,
+        )
+        c = np.asarray(out_near_green.color)[24, 32]
+        assert c[1] > 0.9 and c[0] < 0.06
+
+    def test_culled_gaussians_invisible(self, rng):
+        args = list(make_scene(rng, n=20))
+        out_all = rasterize(*[jnp.asarray(a) for a in args], width=64, height=48,
+                            max_per_tile=64)
+        # zero radius = culled
+        args[5] = np.zeros_like(args[5])
+        out_none = rasterize(*[jnp.asarray(a) for a in args], width=64, height=48,
+                             max_per_tile=64)
+        assert float(jnp.abs(out_none.color).max()) == 0.0
+        assert float(jnp.abs(out_all.color).max()) > 0.0
+
+    def test_gradients_flow(self, rng):
+        args = make_scene(rng, n=30)
+
+        def loss(means2d, colors, opac):
+            out = rasterize(
+                means2d, jnp.asarray(args[1]), colors, opac,
+                jnp.asarray(args[4]), jnp.asarray(args[5]),
+                width=64, height=48, max_per_tile=64, chunk=16,
+            )
+            return jnp.sum(out.color**2)
+
+        g_means, g_col, g_op = jax.grad(loss, argnums=(0, 1, 2))(
+            jnp.asarray(args[0]), jnp.asarray(args[2]), jnp.asarray(args[3])
+        )
+        for g in (g_means, g_col, g_op):
+            assert jnp.all(jnp.isfinite(g))
+        assert float(jnp.abs(g_col).max()) > 0.0
+        assert float(jnp.abs(g_means).max()) > 0.0
+
+
+class TestProjection:
+    def test_quat_identity(self):
+        R = quat_to_rotmat(jnp.array([[1.0, 0, 0, 0]]))
+        np.testing.assert_allclose(np.asarray(R)[0], np.eye(3), atol=1e-6)
+
+    def test_quat_90deg_z(self):
+        s = np.sqrt(0.5)
+        R = np.asarray(quat_to_rotmat(jnp.array([[s, 0, 0, s]])))[0]
+        np.testing.assert_allclose(R @ np.array([1, 0, 0]), [0, 1, 0], atol=1e-6)
+
+    def test_center_projection(self):
+        """A gaussian on the optical axis lands at the principal point."""
+        proj = project_gaussians(
+            means=jnp.array([[0.0, 0.0, 5.0]]),
+            log_scales=jnp.full((1, 3), -2.0),
+            quats=jnp.array([[1.0, 0, 0, 0]]),
+            viewmat=jnp.eye(4),
+            fx=100.0, fy=100.0, cx=32.0, cy=24.0, width=64, height=48,
+        )
+        np.testing.assert_allclose(np.asarray(proj.means2d)[0], [32.0, 24.0], atol=1e-5)
+        assert float(proj.depths[0]) == 5.0
+        assert float(proj.radii[0]) > 0
+
+    def test_behind_camera_culled(self):
+        proj = project_gaussians(
+            means=jnp.array([[0.0, 0.0, -5.0]]),
+            log_scales=jnp.full((1, 3), -2.0),
+            quats=jnp.array([[1.0, 0, 0, 0]]),
+            viewmat=jnp.eye(4),
+            fx=100.0, fy=100.0, cx=32.0, cy=24.0, width=64, height=48,
+        )
+        assert float(proj.radii[0]) == 0.0
+
+    def test_isotropic_cov2d_scale(self):
+        """An isotropic gaussian at depth z has screen sigma ~ fx*s/z pixels."""
+        s, z, fx = 0.1, 4.0, 200.0
+        proj = project_gaussians(
+            means=jnp.array([[0.0, 0.0, z]]),
+            log_scales=jnp.log(jnp.full((1, 3), s)),
+            quats=jnp.array([[1.0, 0, 0, 0]]),
+            viewmat=jnp.eye(4),
+            fx=fx, fy=fx, cx=128.0, cy=128.0, width=256, height=256,
+        )
+        expected_sigma = fx * s / z  # 5 px
+        conic = np.asarray(proj.conics)[0]
+        sigma_from_conic = 1.0 / np.sqrt(conic[0])
+        np.testing.assert_allclose(sigma_from_conic, expected_sigma, rtol=0.05)
+        np.testing.assert_allclose(float(proj.radii[0]), 3 * expected_sigma, rtol=0.1)
+
+
+class TestSH:
+    def test_dc_only(self):
+        basis = eval_sh_basis(0, jnp.array([[0.0, 0.0, 1.0]]))
+        np.testing.assert_allclose(np.asarray(basis), [[SH_C0]], atol=1e-7)
+
+    def test_basis_orthonormality(self, rng):
+        """Monte-Carlo check: int Y_i Y_j dOmega = delta_ij over the sphere."""
+        v = rng.normal(size=(200000, 3))
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        basis = np.asarray(eval_sh_basis(3, jnp.asarray(v, dtype=jnp.float32)))
+        gram = 4 * np.pi * (basis.T @ basis) / v.shape[0]
+        np.testing.assert_allclose(gram, np.eye(16), atol=0.05)

@@ -1,0 +1,294 @@
+"""3DGS training loop — the splatfacto/gsplat-trainer analog, TPU-native.
+
+One jitted train step (render -> loss -> selective-Adam update) over fixed-capacity
+parameter arrays; densification runs as a separate jitted refine pass on the same
+static shapes. Model variants map to configs like the reference's model flag
+(main.py:1245-1382): splatfacto, splatfacto-big, splatfacto-mcmc, splatfacto-w-light.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from dataclasses import dataclass, field, replace
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_splat.gs import mcmc as mcmc_mod
+from tpu_splat.gs.losses import image_loss, opacity_entropy_loss, psnr, scale_regularization
+from tpu_splat.gs.optim import AdamState, adam_init, adam_update
+from tpu_splat.gs.params import Params, grow_capacity, num_alive, params_to_cloud
+from tpu_splat.gs.render import render_view
+from tpu_splat.gs.strategy import (
+    DensifyConfig,
+    DensifyState,
+    accumulate_gradients,
+    densify_state_init,
+    refine,
+    reset_opacity,
+)
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    max_steps: int = 30000
+    sh_degree: int = 3
+    sh_degree_interval: int = 1000  # raise active SH degree every N steps
+    ssim_lambda: float = 0.2
+    # learning rates (gsplat/splatfacto defaults)
+    lr_means: float = 1.6e-4  # x scene_scale, exponentially decayed
+    lr_means_final: float = 1.6e-6
+    lr_scales: float = 5e-3
+    lr_quats: float = 1e-3
+    lr_opacities: float = 5e-2
+    lr_sh0: float = 2.5e-3
+    lr_shN: float = 2.5e-3 / 20.0
+    densify: DensifyConfig = field(default_factory=DensifyConfig)
+    strategy: str = "default"  # default | mcmc
+    mcmc: "mcmc_mod.MCMCConfig" = field(default_factory=lambda: mcmc_mod.MCMCConfig())
+    max_per_tile: int = 1024
+    tile_size: int = 16
+    random_background: bool = True
+    scale_reg_weight: float = 0.0  # splatfacto use_scale_regularization analog
+    opacity_reg_weight: float = 0.0  # -w-light alpha loss analog
+    selective_adam: bool = False
+    antialiased: bool = False
+    grow_threshold: float = 0.95
+    eval_every: int = 1000
+
+    @classmethod
+    def for_model(cls, model: str, max_steps: int = 30000) -> "TrainConfig":
+        """Map the reference job-JSON model names to configs (main.py:1270-1382)."""
+        base = cls(max_steps=max_steps)
+        if model == "splatfacto":
+            return base
+        if model == "splatfacto-big":
+            return replace(
+                base,
+                densify=replace(base.densify, grad_threshold=0.0001),
+            )
+        if model == "splatfacto-mcmc":
+            return replace(base, strategy="mcmc")
+        if model == "splatfacto-w-light":
+            return replace(base, opacity_reg_weight=0.01, random_background=True)
+        if model in ("3dgut", "3dgrt"):
+            # Gaussian ray tracing models map onto the rasterizer with antialiasing
+            # + selective adam (their distinguishing optimizer feature).
+            return replace(base, antialiased=True, selective_adam=True)
+        raise ValueError(f"unknown model {model!r}")
+
+
+def _lr_tree(cfg: TrainConfig, scene_scale: float, step: jnp.ndarray, max_steps: int):
+    t = jnp.clip(step.astype(jnp.float32) / max_steps, 0.0, 1.0)
+    decay = (cfg.lr_means_final / cfg.lr_means) ** t
+    return {
+        "means": cfg.lr_means * scene_scale * decay,
+        "scales": jnp.asarray(cfg.lr_scales),
+        "quats": jnp.asarray(cfg.lr_quats),
+        "opacities": jnp.asarray(cfg.lr_opacities),
+        "sh0": jnp.asarray(cfg.lr_sh0),
+        "shN": jnp.asarray(cfg.lr_shN),
+    }
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "width", "height", "active_sh_degree"),
+)
+def train_step(
+    params: Params,
+    adam_state: AdamState,
+    dstate: DensifyState,
+    image: jnp.ndarray,
+    viewmat: jnp.ndarray,
+    intrin: jnp.ndarray,  # (4,) fx, fy, cx, cy
+    step: jnp.ndarray,
+    key: jax.Array,
+    scene_scale: float,
+    cfg: TrainConfig,
+    width: int,
+    height: int,
+    active_sh_degree: int,
+):
+    """One optimization step on one view. Returns (params, adam, dstate, metrics)."""
+    alive = params["alive"]
+    trainable = {k: v for k, v in params.items() if k != "alive"}
+    capacity = alive.shape[0]
+
+    bg_key, key = jax.random.split(key)
+    if cfg.random_background:
+        bg = jax.random.uniform(bg_key, (3,))
+    else:
+        bg = jnp.zeros((3,))
+
+    def loss_fn(p, dummy):
+        out = render_view(
+            p["means"], p["scales"], p["quats"], p["opacities"], p["sh0"], p["shN"],
+            viewmat, intrin[0], intrin[1], intrin[2], intrin[3], width, height,
+            sh_degree=active_sh_degree, background=bg, antialiased=cfg.antialiased,
+            tile_size=cfg.tile_size, max_per_tile=cfg.max_per_tile,
+            means2d_dummy=dummy, alive=alive,
+        )
+        gt = image
+        loss = image_loss(out.color, gt, cfg.ssim_lambda)
+        if cfg.scale_reg_weight > 0:
+            loss = loss + cfg.scale_reg_weight * scale_regularization(p["scales"], alive)
+        if cfg.opacity_reg_weight > 0:
+            loss = loss + cfg.opacity_reg_weight * opacity_entropy_loss(
+                p["opacities"], alive
+            )
+        return loss, out
+
+    dummy = jnp.zeros((capacity, 2))
+    (loss, out), grads = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
+        trainable, dummy
+    )
+    param_grads, means2d_grad = grads
+
+    # Zero gradients for dead slots.
+    param_grads = {
+        k: jnp.where(alive.reshape((-1,) + (1,) * (v.ndim - 1)), v, 0.0)
+        for k, v in param_grads.items()
+    }
+
+    # Recompute radii cheaply for visibility (projection is cheap vs rasterize).
+    from tpu_splat.gs.projection import project_gaussians
+
+    proj = project_gaussians(
+        trainable["means"], trainable["scales"], trainable["quats"], viewmat,
+        intrin[0], intrin[1], intrin[2], intrin[3], width, height,
+    )
+    radii = jnp.where(alive, proj.radii, 0.0)
+
+    lrs = _lr_tree(cfg, scene_scale, step, cfg.max_steps)
+    visible = (radii > 0) if cfg.selective_adam else None
+    new_trainable, adam_state = adam_update(
+        trainable, param_grads, adam_state, lrs, visible=visible
+    )
+    new_params = dict(new_trainable)
+    new_params["alive"] = alive
+
+    dstate = accumulate_gradients(dstate, means2d_grad, radii, width, height)
+    metrics = {"loss": loss, "psnr": psnr(out.color, image)}
+    return new_params, adam_state, dstate, metrics
+
+
+class Trainer:
+    """Host-side training driver: camera sampling, refine scheduling, growth."""
+
+    def __init__(
+        self,
+        params: Params,
+        images: np.ndarray,  # (M, H, W, 3) float32 in [0,1] (host memory)
+        viewmats: np.ndarray,  # (M, 4, 4) world-to-camera
+        intrinsics: np.ndarray,  # (M, 4) fx fy cx cy
+        scene_scale: float,
+        cfg: TrainConfig,
+        seed: int = 0,
+        log_fn: Optional[Callable[[str], None]] = None,
+    ):
+        self.params = params
+        self.images = images
+        self.viewmats = jnp.asarray(viewmats)
+        self.intrinsics = jnp.asarray(intrinsics)
+        self.scene_scale = float(scene_scale)
+        self.cfg = cfg
+        self.adam = adam_init(params)
+        self.dstate = densify_state_init(params["means"].shape[0])
+        self.key = jax.random.PRNGKey(seed)
+        self.step = 0
+        self.log = log_fn or (lambda s: None)
+        self.height, self.width = images.shape[1:3]
+        self._mcmc_state = None
+
+    def _active_sh_degree(self) -> int:
+        return min(self.step // self.cfg.sh_degree_interval, self.cfg.sh_degree)
+
+    def run(self, steps: Optional[int] = None) -> Params:
+        cfg = self.cfg
+        n_views = self.images.shape[0]
+        total = steps if steps is not None else cfg.max_steps
+        rng = np.random.default_rng(42)
+        t0 = time.time()
+        for _ in range(total):
+            view = int(rng.integers(n_views))
+            self.key, sub = jax.random.split(self.key)
+            image = jnp.asarray(self.images[view])
+            self.params, self.adam, self.dstate, metrics = train_step(
+                self.params, self.adam, self.dstate, image,
+                self.viewmats[view], self.intrinsics[view],
+                jnp.asarray(self.step), sub, self.scene_scale, cfg,
+                self.width, self.height, self._active_sh_degree(),
+            )
+            self.step += 1
+
+            if cfg.strategy == "default":
+                self._default_refine()
+            elif cfg.strategy == "mcmc":
+                self._mcmc_refine()
+
+            if self.step % cfg.eval_every == 0 or self.step == total:
+                alive_n = num_alive(self.params)
+                self.log(
+                    f"step {self.step}: loss={float(metrics['loss']):.4f} "
+                    f"psnr={float(metrics['psnr']):.2f} alive={alive_n} "
+                    f"({(self.step) / (time.time() - t0):.1f} it/s)"
+                )
+        return self.params
+
+    def _default_refine(self):
+        cfg = self.cfg
+        d = cfg.densify
+        if (
+            d.refine_start <= self.step < d.refine_stop
+            and self.step % d.refine_every == 0
+        ):
+            self.key, sub = jax.random.split(self.key)
+            self.params, self.adam, self.dstate, stats = refine(
+                self.params, self.adam, self.dstate, sub,
+                jnp.asarray(self.scene_scale), d, jnp.asarray(self.step),
+            )
+            # Grow capacity if nearly full (host-side; one recompile per growth).
+            capacity = self.params["means"].shape[0]
+            alive_n = num_alive(self.params)
+            if alive_n > cfg.grow_threshold * capacity:
+                new_cap = capacity * 2
+                self.log(f"growing capacity {capacity} -> {new_cap}")
+                self.params = grow_capacity(self.params, new_cap)
+                from tpu_splat.gs.params import grow_tree
+
+                self.adam = AdamState(
+                    mu=grow_tree(self.adam.mu, new_cap),
+                    nu=grow_tree(self.adam.nu, new_cap),
+                    count=self.adam.count,
+                )
+                self.dstate = densify_state_init(new_cap)
+        if (
+            self.step % d.reset_opacity_every == 0
+            and d.refine_start <= self.step < d.refine_stop
+        ):
+            self.params, self.adam = reset_opacity(
+                self.params, self.adam, d.reset_opacity_value
+            )
+
+    def _mcmc_refine(self):
+        cfg = self.cfg
+        d = cfg.densify
+        if (
+            d.refine_start <= self.step < d.refine_stop
+            and self.step % d.refine_every == 0
+        ):
+            self.key, sub = jax.random.split(self.key)
+            self.params, self.adam = mcmc_mod.relocate_and_grow(
+                self.params, self.adam, sub, cfg.mcmc
+            )
+        # MCMC adds positional exploration noise every step.
+        self.key, sub = jax.random.split(self.key)
+        lr_means = float(cfg.lr_means * self.scene_scale)
+        self.params = mcmc_mod.add_noise(self.params, sub, lr_means, cfg.mcmc)
+
+    def cloud(self):
+        return params_to_cloud(self.params)
