@@ -1,0 +1,129 @@
+"""Two-view geometry and PnP tests on synthetic correspondences with outliers."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_splat.sfm.geometry import (
+    decompose_essential,
+    essential_ransac,
+    exp_so3,
+    log_so3,
+    pnp_ransac,
+    refine_pnp,
+    triangulate_dlt,
+    triangulate_multiview,
+)
+
+
+def synthetic_two_view(rng, n=200, outlier_frac=0.3, noise=0.001):
+    """Points in front of two cameras; returns normalized coords + ground truth."""
+    X = rng.uniform(-1, 1, (n, 3)) + np.array([0, 0, 4.0])
+    R_gt = np.asarray(exp_so3(jnp.asarray([0.1, 0.3, -0.05])))
+    t_gt = np.array([0.8, -0.1, 0.2])
+    x1 = X[:, :2] / X[:, 2:3]
+    Xc2 = X @ R_gt.T + t_gt
+    x2 = Xc2[:, :2] / Xc2[:, 2:3]
+    x1 += rng.normal(0, noise, x1.shape)
+    x2 += rng.normal(0, noise, x2.shape)
+    n_out = int(n * outlier_frac)
+    out_idx = rng.choice(n, n_out, replace=False)
+    x2[out_idx] += rng.uniform(0.05, 0.5, (n_out, 2)) * rng.choice([-1, 1], (n_out, 2))
+    inlier_gt = np.ones(n, bool)
+    inlier_gt[out_idx] = False
+    return X, x1, x2, R_gt, t_gt, inlier_gt
+
+
+class TestSO3:
+    def test_exp_log_roundtrip(self, rng):
+        w = rng.normal(0, 0.8, (10, 3)).astype(np.float32)
+        R = exp_so3(jnp.asarray(w))
+        w2 = np.asarray(log_so3(R))
+        np.testing.assert_allclose(w2, w, atol=1e-5)
+
+    def test_rotation_orthonormal(self, rng):
+        R = np.asarray(exp_so3(jnp.asarray(rng.normal(0, 1, (5, 3)), jnp.float32)))
+        for r in R:
+            np.testing.assert_allclose(r @ r.T, np.eye(3), atol=1e-6)
+            assert np.linalg.det(r) > 0.99
+
+
+class TestEssential:
+    def test_ransac_recovers_pose(self, rng):
+        X, x1, x2, R_gt, t_gt, inlier_gt = synthetic_two_view(rng)
+        E, inl = essential_ransac(
+            jnp.asarray(x1, jnp.float32), jnp.asarray(x2, jnp.float32),
+            jnp.ones(len(x1), bool), jax.random.PRNGKey(0),
+            threshold=0.005, num_hypotheses=512,
+        )
+        inl = np.asarray(inl)
+        # most true inliers found, few outliers admitted
+        assert inl[inlier_gt].mean() > 0.9
+        assert inl[~inlier_gt].mean() < 0.1
+        R, t = decompose_essential(E, jnp.asarray(x1, jnp.float32),
+                                   jnp.asarray(x2, jnp.float32), jnp.asarray(inl))
+        R, t = np.asarray(R), np.asarray(t)
+        # rotation error
+        dr = np.degrees(np.linalg.norm(np.asarray(log_so3(jnp.asarray(R @ R_gt.T)))))
+        assert dr < 1.0, f"rotation error {dr:.2f} deg"
+        # translation direction error (scale is unobservable)
+        cos = abs(t @ t_gt) / (np.linalg.norm(t) * np.linalg.norm(t_gt))
+        assert cos > 0.999, f"translation direction cos {cos:.4f}"
+
+    def test_triangulation_accuracy(self, rng):
+        X, x1, x2, R_gt, t_gt, _ = synthetic_two_view(rng, outlier_frac=0.0, noise=0.0)
+        P1 = np.concatenate([np.eye(3), np.zeros((3, 1))], axis=1)
+        P2 = np.concatenate([R_gt, t_gt[:, None]], axis=1)
+        Xr = np.asarray(
+            triangulate_dlt(jnp.asarray(P1, jnp.float32), jnp.asarray(P2, jnp.float32),
+                            jnp.asarray(x1, jnp.float32), jnp.asarray(x2, jnp.float32))
+        )
+        np.testing.assert_allclose(Xr, X, atol=1e-2)
+
+    def test_multiview_triangulation_masks_invalid(self, rng):
+        X = np.array([0.3, -0.2, 5.0])
+        Ps, xs = [], []
+        for i in range(4):
+            R = np.asarray(exp_so3(jnp.asarray([0.05 * i, 0.1 * i, 0.0])))
+            t = np.array([0.5 * i, 0.0, 0.0])
+            P = np.concatenate([R, t[:, None]], axis=1)
+            xc = R @ X + t
+            Ps.append(P)
+            xs.append(xc[:2] / xc[2])
+        # corrupt view 3 but mark it invalid
+        xs[3] = xs[3] + 10.0
+        Xr = np.asarray(
+            triangulate_multiview(
+                jnp.asarray(np.stack(Ps), jnp.float32),
+                jnp.asarray(np.stack(xs), jnp.float32),
+                jnp.asarray([True, True, True, False]),
+            )
+        )
+        np.testing.assert_allclose(Xr, X, atol=1e-3)
+
+
+class TestPnP:
+    def test_ransac_pnp(self, rng):
+        n = 150
+        X = rng.uniform(-1, 1, (n, 3)) + np.array([0, 0, 5.0])
+        R_gt = np.asarray(exp_so3(jnp.asarray([-0.2, 0.15, 0.4])))
+        t_gt = np.array([0.3, 0.5, 0.1])
+        xc = X @ R_gt.T + t_gt
+        xn = xc[:, :2] / xc[:, 2:3] + rng.normal(0, 0.001, (n, 2))
+        n_out = 40
+        xn[:n_out] += rng.uniform(0.1, 0.4, (n_out, 2))
+        R, t, inl = pnp_ransac(
+            jnp.asarray(X, jnp.float32), jnp.asarray(xn, jnp.float32),
+            jnp.ones(n, bool), jax.random.PRNGKey(1),
+            threshold=0.01, num_hypotheses=256,
+        )
+        inl = np.asarray(inl)
+        assert inl[n_out:].mean() > 0.9
+        R2, t2 = refine_pnp(R, t, jnp.asarray(X, jnp.float32),
+                            jnp.asarray(xn, jnp.float32),
+                            jnp.asarray(inl, jnp.float32))
+        dr = np.degrees(np.linalg.norm(np.asarray(log_so3(R2 @ R_gt.T))))
+        dt = np.linalg.norm(np.asarray(t2) - t_gt)
+        assert dr < 0.5, f"rotation err {dr}"
+        assert dt < 0.02, f"translation err {dt}"

@@ -1,0 +1,331 @@
+"""TPU-native SIFT-style feature extraction (DoG keypoints + oriented descriptors).
+
+Replaces COLMAP's `feature_extractor` (SiftGPU) that the reference shells out to
+(main.py:950-985). The design maps SIFT onto XLA-friendly primitives:
+
+- Gaussian/DoG pyramid: separable convolutions (VPU) over a batched octave stack.
+- Keypoint detection: 3x3x3 extrema via reduce_window max/min, contrast + edge
+  (Hessian-ratio) filters, then a static top-K selection per image so every image
+  yields fixed-shape outputs (padded with a validity mask) — no dynamic shapes.
+- Orientation: 36-bin gradient histogram in a scale-adaptive window, dominant bin
+  with parabolic refinement.
+- Descriptor: 4x4 spatial x 8 orientation bins (128-d) from a rotated, bilinearly
+  sampled 16x16 gradient grid, L2-normalized, clipped at 0.2, renormalized —
+  the standard SIFT recipe, vmapped over keypoints.
+
+The "enhanced feature extraction" option of the reference (affine shape estimation
++ domain-size pooling, main.py:967-971) maps here to `upsample_first` (doubling,
+equivalent detail gain) and multi-scale descriptor pooling (dsp=True).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from dataclasses import dataclass
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass(frozen=True)
+class FeatureConfig:
+    max_features: int = 4096
+    num_octaves: int = 4
+    scales_per_octave: int = 3
+    sigma0: float = 1.6
+    contrast_threshold: float = 0.01
+    edge_threshold: float = 10.0
+    upsample_first: bool = False  # "enhanced" mode: 2x upsample before octave 0
+    dsp: bool = False  # domain-size pooling: average descriptors over 3 scales
+
+
+class Features(NamedTuple):
+    xy: jnp.ndarray  # (K, 2) pixel coordinates in the input image
+    scale: jnp.ndarray  # (K,) blur sigma at detection (input-image units)
+    orientation: jnp.ndarray  # (K,) radians
+    response: jnp.ndarray  # (K,) |DoG| response
+    descriptor: jnp.ndarray  # (K, 128) L2-normalized float32
+    valid: jnp.ndarray  # (K,) bool
+
+
+def _gaussian_kernel1d(sigma: float) -> np.ndarray:
+    radius = max(int(math.ceil(3.0 * sigma)), 1)
+    x = np.arange(-radius, radius + 1)
+    k = np.exp(-(x**2) / (2 * sigma**2))
+    return (k / k.sum()).astype(np.float32)
+
+
+def _blur(img: jnp.ndarray, sigma: float) -> jnp.ndarray:
+    """Separable gaussian blur of (H, W) image."""
+    k = jnp.asarray(_gaussian_kernel1d(sigma))
+    r = k.shape[0] // 2
+    x = jnp.pad(img, ((r, r), (0, 0)), mode="edge")
+    x = jax.lax.conv_general_dilated(
+        x[None, None], k[None, None, :, None], (1, 1), "VALID"
+    )[0, 0]
+    x = jnp.pad(x, ((0, 0), (r, r)), mode="edge")
+    x = jax.lax.conv_general_dilated(
+        x[None, None], k[None, None, None, :], (1, 1), "VALID"
+    )[0, 0]
+    return x
+
+
+def _local_extrema(dog: jnp.ndarray) -> jnp.ndarray:
+    """(S, H, W) -> bool mask of 26-neighborhood extrema on interior scales."""
+    mx = jax.lax.reduce_window(
+        dog, -jnp.inf, jax.lax.max, (3, 3, 3), (1, 1, 1), "SAME"
+    )
+    mn = jax.lax.reduce_window(dog, jnp.inf, jax.lax.min, (3, 3, 3), (1, 1, 1), "SAME")
+    is_max = dog >= mx
+    is_min = dog <= mn
+    mask = is_max | is_min
+    # exclude boundary scales (no neighbor above/below)
+    mask = mask.at[0].set(False).at[-1].set(False)
+    return mask
+
+
+def _edge_response_ok(dog_s: jnp.ndarray, edge_threshold: float) -> jnp.ndarray:
+    """Reject edge-like extrema using the Hessian trace/det ratio test."""
+    dxx = jnp.roll(dog_s, -1, 1) - 2 * dog_s + jnp.roll(dog_s, 1, 1)
+    dyy = jnp.roll(dog_s, -1, 0) - 2 * dog_s + jnp.roll(dog_s, 1, 0)
+    dxy = 0.25 * (
+        jnp.roll(jnp.roll(dog_s, -1, 0), -1, 1)
+        - jnp.roll(jnp.roll(dog_s, -1, 0), 1, 1)
+        - jnp.roll(jnp.roll(dog_s, 1, 0), -1, 1)
+        + jnp.roll(jnp.roll(dog_s, 1, 0), 1, 1)
+    )
+    tr = dxx + dyy
+    det = dxx * dyy - dxy * dxy
+    r = edge_threshold
+    return (det > 0) & (tr * tr * r < (r + 1) ** 2 * det)
+
+
+def _bilinear(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear sample of (H, W) image at float coords (clamped)."""
+    h, w = img.shape
+    x = jnp.clip(x, 0.0, w - 1.001)
+    y = jnp.clip(y, 0.0, h - 1.001)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    fx = x - x0
+    fy = y - y0
+    v00 = img[y0, x0]
+    v01 = img[y0, x0 + 1]
+    v10 = img[y0 + 1, x0]
+    v11 = img[y0 + 1, x0 + 1]
+    return (
+        v00 * (1 - fx) * (1 - fy)
+        + v01 * fx * (1 - fy)
+        + v10 * (1 - fx) * fy
+        + v11 * fx * fy
+    )
+
+
+def _keypoint_orientation(gx, gy, x, y, sigma):
+    """Dominant gradient orientation in a gaussian-weighted window (36 bins)."""
+    radius = 3.0 * sigma  # window radius in pixels (at this octave's resolution)
+    grid = jnp.linspace(-1.0, 1.0, 9)  # 9x9 samples over the window
+    ox, oy = jnp.meshgrid(grid * radius, grid * radius)
+    sx = x + ox.reshape(-1)
+    sy = y + oy.reshape(-1)
+    mag_x = _bilinear(gx, sx, sy)
+    mag_y = _bilinear(gy, sx, sy)
+    mag = jnp.sqrt(mag_x**2 + mag_y**2)
+    ang = jnp.arctan2(mag_y, mag_x)  # [-pi, pi]
+    wgt = jnp.exp(-(ox.reshape(-1) ** 2 + oy.reshape(-1) ** 2) / (2 * (1.5 * sigma) ** 2))
+    bins = jnp.floor((ang + jnp.pi) / (2 * jnp.pi) * 36).astype(jnp.int32) % 36
+    hist = jnp.zeros(36).at[bins].add(mag * wgt)
+    # smooth circularly, then take argmax with parabolic refinement
+    hist = (jnp.roll(hist, 1) + hist + jnp.roll(hist, -1)) / 3.0
+    b = jnp.argmax(hist)
+    left = hist[(b - 1) % 36]
+    right = hist[(b + 1) % 36]
+    center = hist[b]
+    denom = left - 2 * center + right
+    off = jnp.where(jnp.abs(denom) > 1e-6, 0.5 * (left - right) / denom, 0.0)
+    theta = (b.astype(jnp.float32) + off + 0.5) / 36.0 * 2 * jnp.pi - jnp.pi
+    return theta
+
+
+def _descriptor(gx, gy, x, y, sigma, theta):
+    """128-d SIFT descriptor: 4x4 spatial cells x 8 orientation bins."""
+    d = 4  # spatial bins
+    n_ori = 8
+    samples = 16  # 16x16 sample grid
+    hist_width = 3.0 * sigma  # pixels per spatial bin
+    # sample grid in keypoint frame, rotated by theta
+    lin = (jnp.arange(samples) - samples / 2 + 0.5) / samples * d  # in bin units
+    u, v = jnp.meshgrid(lin, lin)  # (16, 16) in [-2, 2)
+    cos_t, sin_t = jnp.cos(theta), jnp.sin(theta)
+    sx = x + (cos_t * u - sin_t * v).reshape(-1) * hist_width
+    sy = y + (sin_t * u + cos_t * v).reshape(-1) * hist_width
+    gxs = _bilinear(gx, sx, sy)
+    gys = _bilinear(gy, sx, sy)
+    mag = jnp.sqrt(gxs**2 + gys**2)
+    ang = jnp.arctan2(gys, gxs) - theta
+    wgt = jnp.exp(-(u.reshape(-1) ** 2 + v.reshape(-1) ** 2) / (2 * (d / 2) ** 2))
+    w_mag = mag * wgt
+
+    # soft-assign to spatial bins (bilinear) and orientation bins (linear)
+    ub = u.reshape(-1) + d / 2 - 0.5  # [0-0.5, 3.5] bin coords
+    vb = v.reshape(-1) + d / 2 - 0.5
+    ob = (ang % (2 * jnp.pi)) / (2 * jnp.pi) * n_ori
+
+    u0 = jnp.floor(ub).astype(jnp.int32)
+    v0 = jnp.floor(vb).astype(jnp.int32)
+    o0 = jnp.floor(ob).astype(jnp.int32)
+    fu = ub - u0
+    fv = vb - v0
+    fo = ob - o0
+
+    desc = jnp.zeros((d, d, n_ori))
+    for du, wu in ((0, 1 - fu), (1, fu)):
+        uu = u0 + du
+        u_ok = (uu >= 0) & (uu < d)
+        for dv, wv in ((0, 1 - fv), (1, fv)):
+            vv = v0 + dv
+            v_ok = (vv >= 0) & (vv < d)
+            for do, wo in ((0, 1 - fo), (1, fo)):
+                oo = (o0 + do) % n_ori
+                w = w_mag * wu * wv * wo * (u_ok & v_ok)
+                desc = desc.at[
+                    jnp.clip(vv, 0, d - 1), jnp.clip(uu, 0, d - 1), oo
+                ].add(w)
+    vec = desc.reshape(-1)
+    vec = vec / jnp.maximum(jnp.linalg.norm(vec), 1e-8)
+    vec = jnp.minimum(vec, 0.2)
+    vec = vec / jnp.maximum(jnp.linalg.norm(vec), 1e-8)
+    return vec
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "height", "width"))
+def extract_features(
+    image: jnp.ndarray, cfg: FeatureConfig, height: int, width: int
+) -> Features:
+    """Extract up to cfg.max_features SIFT features from a grayscale (H, W) image
+    in [0, 1]. Outputs are fixed-shape with a validity mask."""
+    img = image.astype(jnp.float32)
+    if cfg.upsample_first:
+        img = jax.image.resize(img, (height * 2, width * 2), "linear")
+        base_scale = 0.5
+    else:
+        base_scale = 1.0
+
+    s = cfg.scales_per_octave
+    k = 2.0 ** (1.0 / s)
+    # blur increments between successive scales
+    sigmas = [cfg.sigma0 * (k**i) for i in range(s + 3)]
+
+    per_octave_k = cfg.max_features  # candidates per octave before global top-K
+    all_resp, all_x, all_y, all_sig, all_oct, all_scale_idx = [], [], [], [], [], []
+    gauss_stacks = []
+
+    cur = _blur(img, cfg.sigma0)
+    for octave in range(cfg.num_octaves):
+        h, w = cur.shape
+        stack = [cur]
+        for i in range(1, s + 3):
+            inc = math.sqrt(max(sigmas[i] ** 2 - sigmas[i - 1] ** 2, 1e-6))
+            stack.append(_blur(stack[-1], inc))
+        gauss = jnp.stack(stack)  # (S+3, h, w)
+        gauss_stacks.append(gauss)
+        dog = gauss[1:] - gauss[:-1]  # (S+2, h, w)
+
+        extrema = _local_extrema(dog)
+        contrast_ok = jnp.abs(dog) > cfg.contrast_threshold
+        edge_ok = jax.vmap(lambda d: _edge_response_ok(d, cfg.edge_threshold))(dog)
+        # border margin
+        yy = jnp.arange(h)
+        xx = jnp.arange(w)
+        margin = 8
+        border = (
+            (yy[:, None] >= margin)
+            & (yy[:, None] < h - margin)
+            & (xx[None, :] >= margin)
+            & (xx[None, :] < w - margin)
+        )
+        mask = extrema & contrast_ok & edge_ok & border[None]
+        resp = jnp.where(mask, jnp.abs(dog), 0.0).reshape(-1)
+
+        top_resp, top_idx = jax.lax.top_k(resp, min(per_octave_k, resp.shape[0]))
+        sw = dog.shape[2]
+        scale_i = top_idx // (h * w)
+        rem = top_idx % (h * w)
+        py = rem // sw
+        px = rem % sw
+
+        octave_scale = base_scale * (2.0**octave)
+        all_resp.append(top_resp)
+        all_x.append((px.astype(jnp.float32) + 0.5) * octave_scale - 0.5)
+        all_y.append((py.astype(jnp.float32) + 0.5) * octave_scale - 0.5)
+        # sigma at this scale level, in input-image units
+        sig = jnp.asarray(sigmas)[scale_i + 1] * octave_scale
+        all_sig.append(sig)
+        all_oct.append(jnp.full_like(scale_i, octave))
+        all_scale_idx.append(scale_i + 1)
+
+        cur = stack[s][::2, ::2]
+        if min(cur.shape) < 32:
+            break
+
+    resp = jnp.concatenate(all_resp)
+    xs = jnp.concatenate(all_x)
+    ys = jnp.concatenate(all_y)
+    sig = jnp.concatenate(all_sig)
+    octs = jnp.concatenate(all_oct)
+    sidx = jnp.concatenate(all_scale_idx)
+
+    kk = cfg.max_features
+    top_resp, sel = jax.lax.top_k(resp, kk)
+    valid = top_resp > 0
+    xs, ys, sig = xs[sel], ys[sel], sig[sel]
+    octs, sidx = octs[sel], sidx[sel]
+
+    # Precompute gradients for each octave/scale actually used; gather per keypoint.
+    def per_keypoint(xi, yi, sigi, octi, si, ok):
+        def on_octave(o):
+            gauss = gauss_stacks[o]
+            octave_scale = base_scale * (2.0**o)
+            gl = gauss[si]  # (h, w) at this octave
+            gx = (jnp.roll(gl, -1, 1) - jnp.roll(gl, 1, 1)) * 0.5
+            gy = (jnp.roll(gl, -1, 0) - jnp.roll(gl, 1, 0)) * 0.5
+            # coords at octave resolution
+            lx = (xi + 0.5) / octave_scale - 0.5
+            ly = (yi + 0.5) / octave_scale - 0.5
+            lsig = sigi / octave_scale
+            theta = _keypoint_orientation(gx, gy, lx, ly, lsig)
+            if cfg.dsp:
+                descs = [
+                    _descriptor(gx, gy, lx, ly, lsig * f, theta)
+                    for f in (0.75, 1.0, 1.5)
+                ]
+                desc = sum(descs) / 3.0
+                desc = desc / jnp.maximum(jnp.linalg.norm(desc), 1e-8)
+            else:
+                desc = _descriptor(gx, gy, lx, ly, lsig, theta)
+            return theta, desc
+
+        theta, desc = jax.lax.switch(
+            jnp.clip(octi, 0, len(gauss_stacks) - 1),
+            [functools.partial(on_octave, o) for o in range(len(gauss_stacks))],
+        )
+        return theta, jnp.where(ok, desc, 0.0)
+
+    thetas, descs = jax.vmap(per_keypoint)(xs, ys, sig, octs, sidx, valid)
+
+    return Features(
+        xy=jnp.stack([xs, ys], axis=-1),
+        scale=sig,
+        orientation=thetas,
+        response=top_resp,
+        descriptor=descs.astype(jnp.float32),
+        valid=valid,
+    )
+
+
+def rgb_to_gray(img: jnp.ndarray) -> jnp.ndarray:
+    """(H, W, 3) -> (H, W) luminance."""
+    return img @ jnp.asarray([0.299, 0.587, 0.114], img.dtype)

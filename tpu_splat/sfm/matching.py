@@ -1,0 +1,151 @@
+"""Feature matching: descriptor distances on the MXU + pair-selection policies.
+
+Replaces COLMAP's sequential/spatial/vocab/exhaustive matchers (main.py:1011-1086).
+The core kernel is one big matmul (descriptors are L2-normalized, so L2 distance
+ranking == dot-product ranking) with Lowe ratio test and mutual-nearest filtering,
+all static-shape.
+
+Pair-selection policies:
+- exhaustive: all N*(N-1)/2 pairs (auto-selected below a threshold image count,
+  mirroring main.py:1017-1032).
+- sequential: sliding window of `overlap` neighbors + power-of-2 loop-closure
+  links (COLMAP's sequential matcher quadratic overlap analog).
+- spatial: k-nearest by camera position prior (pose priors) when available,
+  else falls back to retrieval.
+- vocab/retrieval: global-descriptor (mean pooled) similarity top-k — the
+  vocab-tree analog without an offline vocabulary.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class Matches(NamedTuple):
+    idx: jnp.ndarray  # (M, 2) int32 indices into features of image a / image b
+    valid: jnp.ndarray  # (M,) bool
+
+
+@functools.partial(jax.jit, static_argnames=("max_matches",))
+def match_descriptors(
+    desc_a: jnp.ndarray,
+    valid_a: jnp.ndarray,
+    desc_b: jnp.ndarray,
+    valid_b: jnp.ndarray,
+    ratio: float = 0.8,
+    max_matches: int = 2048,
+) -> Matches:
+    """Mutual-nearest-neighbor matching with Lowe's ratio test.
+
+    desc_*: (K, 128) L2-normalized. Returns up to max_matches pairs sorted by
+    similarity. One dot-product matmul does all the work (MXU).
+    """
+    sim = desc_a @ desc_b.T  # (Ka, Kb) cosine similarity
+    neg = -jnp.inf
+    sim = jnp.where(valid_a[:, None] & valid_b[None, :], sim, neg)
+
+    # Top-2 along b for the ratio test. L2^2 = 2 - 2*sim for unit vectors.
+    top2, top2_idx = jax.lax.top_k(sim, 2)
+    best_b = top2_idx[:, 0]
+    d1 = jnp.sqrt(jnp.maximum(2.0 - 2.0 * top2[:, 0], 0.0))
+    d2 = jnp.sqrt(jnp.maximum(2.0 - 2.0 * top2[:, 1], 0.0))
+    ratio_ok = d1 < ratio * d2
+
+    # Mutual check: a must be b's best too.
+    best_a_of_b = jnp.argmax(sim, axis=0)  # (Kb,)
+    mutual = best_a_of_b[best_b] == jnp.arange(sim.shape[0])
+
+    ok = ratio_ok & mutual & valid_a & (top2[:, 0] > neg)
+    score = jnp.where(ok, top2[:, 0], -jnp.inf)
+    top_scores, sel_a = jax.lax.top_k(score, min(max_matches, score.shape[0]))
+    pairs = jnp.stack([sel_a, best_b[sel_a]], axis=-1).astype(jnp.int32)
+    return Matches(idx=pairs, valid=jnp.isfinite(top_scores))
+
+
+def sequential_pairs(n: int, overlap: int = 10, loop_closure: bool = True) -> np.ndarray:
+    """COLMAP sequential-matcher pair list: window + power-of-2 links."""
+    pairs = set()
+    for i in range(n):
+        for d in range(1, overlap + 1):
+            if i + d < n:
+                pairs.add((i, i + d))
+        if loop_closure:
+            d = overlap * 2
+            while i + d < n:
+                pairs.add((i, i + d))
+                d *= 2
+    return np.array(sorted(pairs), dtype=np.int32).reshape(-1, 2)
+
+
+def exhaustive_pairs(n: int) -> np.ndarray:
+    return np.array(
+        [(i, j) for i in range(n) for j in range(i + 1, n)], dtype=np.int32
+    ).reshape(-1, 2)
+
+
+def retrieval_pairs(descriptors: np.ndarray, valids: np.ndarray, k: int = 10) -> np.ndarray:
+    """Vocab-tree analog: rank pairs by global-descriptor similarity.
+
+    descriptors: (N, K, 128); valids: (N, K). Global descriptor = mean of local
+    descriptors (a simple but effective VLAD-lite retrieval signal)."""
+    n = descriptors.shape[0]
+    w = valids[..., None].astype(np.float32)
+    g = (descriptors * w).sum(1) / np.maximum(w.sum(1), 1.0)
+    g = g / np.maximum(np.linalg.norm(g, axis=-1, keepdims=True), 1e-8)
+    sim = g @ g.T
+    np.fill_diagonal(sim, -np.inf)
+    pairs = set()
+    for i in range(n):
+        for j in np.argsort(-sim[i])[:k]:
+            a, b = min(i, int(j)), max(i, int(j))
+            pairs.add((a, b))
+    return np.array(sorted(pairs), dtype=np.int32).reshape(-1, 2)
+
+
+def spatial_pairs(positions: Optional[np.ndarray], n: int, k: int = 10,
+                  descriptors: Optional[np.ndarray] = None,
+                  valids: Optional[np.ndarray] = None) -> np.ndarray:
+    """Spatial matcher: k-nearest by position prior; retrieval fallback."""
+    if positions is None:
+        if descriptors is not None:
+            return retrieval_pairs(descriptors, valids, k=k)
+        return sequential_pairs(n)
+    pairs = set()
+    for i in range(n):
+        d = np.linalg.norm(positions - positions[i], axis=-1)
+        d[i] = np.inf
+        for j in np.argsort(d)[:k]:
+            a, b = min(i, int(j)), max(i, int(j))
+            pairs.add((a, b))
+    return np.array(sorted(pairs), dtype=np.int32).reshape(-1, 2)
+
+
+def select_pairs(
+    method: str,
+    n: int,
+    exhaustive_max_images: int = 20,
+    positions: Optional[np.ndarray] = None,
+    descriptors: Optional[np.ndarray] = None,
+    valids: Optional[np.ndarray] = None,
+    overlap: int = 10,
+    k: int = 10,
+) -> np.ndarray:
+    """Pair policy dispatch with the reference's small-set exhaustive override."""
+    if n <= exhaustive_max_images:
+        return exhaustive_pairs(n)
+    if method == "exhaustive":
+        return exhaustive_pairs(n)
+    if method == "sequential":
+        return sequential_pairs(n, overlap=overlap)
+    if method == "spatial":
+        return spatial_pairs(positions, n, k=k, descriptors=descriptors, valids=valids)
+    if method in ("vocab", "vocab_tree", "retrieval"):
+        if descriptors is None:
+            return sequential_pairs(n, overlap=overlap)
+        return retrieval_pairs(descriptors, valids, k=k)
+    raise ValueError(f"unknown matching method {method!r}")
