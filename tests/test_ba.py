@@ -1,0 +1,95 @@
+"""Bundle adjustment tests: recover perturbed poses/points on synthetic scenes."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_splat.sfm.ba import BAProblem, bundle_adjust, reprojection_errors
+from tpu_splat.sfm.geometry import exp_so3, log_so3
+
+
+def build_problem(rng, n_cams=6, n_pts=300, noise=0.001, pose_jitter=0.03,
+                  point_jitter=0.05, outlier_frac=0.0):
+    X = rng.uniform(-1, 1, (n_pts, 3)) + np.array([0, 0, 5.0])
+    Rs, ts = [], []
+    for i in range(n_cams):
+        w = np.array([0.05 * i, -0.04 * i, 0.02 * i])
+        Rs.append(np.asarray(exp_so3(jnp.asarray(w, jnp.float32))))
+        ts.append(np.array([0.4 * i - 1.0, 0.1 * i, 0.05 * i]))
+    Rs, ts = np.stack(Rs), np.stack(ts)
+
+    obs_cam, obs_pt, obs_uv = [], [], []
+    for c in range(n_cams):
+        pc = X @ Rs[c].T + ts[c]
+        uv = pc[:, :2] / pc[:, 2:3] + rng.normal(0, noise, (n_pts, 2))
+        obs_cam.append(np.full(n_pts, c))
+        obs_pt.append(np.arange(n_pts))
+        obs_uv.append(uv)
+    obs_cam = np.concatenate(obs_cam)
+    obs_pt = np.concatenate(obs_pt)
+    obs_uv = np.concatenate(obs_uv)
+    if outlier_frac > 0:
+        n_out = int(len(obs_uv) * outlier_frac)
+        idx = rng.choice(len(obs_uv), n_out, replace=False)
+        obs_uv[idx] += rng.uniform(0.05, 0.3, (n_out, 2))
+
+    # perturb everything except camera 0 (the gauge anchor)
+    Rp = Rs.copy()
+    tp = ts.copy()
+    for c in range(1, n_cams):
+        Rp[c] = np.asarray(
+            exp_so3(jnp.asarray(rng.normal(0, pose_jitter, 3), jnp.float32))
+        ) @ Rp[c]
+        tp[c] = tp[c] + rng.normal(0, pose_jitter, 3)
+    Xp = X + rng.normal(0, point_jitter, X.shape)
+
+    problem = BAProblem(
+        cam_rotmats=jnp.asarray(Rp, jnp.float32),
+        cam_trans=jnp.asarray(tp, jnp.float32),
+        points=jnp.asarray(Xp, jnp.float32),
+        obs_cam=jnp.asarray(obs_cam, jnp.int32),
+        obs_pt=jnp.asarray(obs_pt, jnp.int32),
+        obs_uv=jnp.asarray(obs_uv, jnp.float32),
+        obs_valid=jnp.ones(len(obs_uv), bool),
+    )
+    return problem, Rs, ts, X
+
+
+class TestBundleAdjust:
+    def test_recovers_poses(self, rng):
+        problem, Rs, ts, X = build_problem(rng)
+        rms0 = float(
+            jnp.sqrt(jnp.mean(reprojection_errors(problem) ** 2))
+        )
+        R, t, Xout, rms = bundle_adjust(problem, outer_iters=15, cg_iters=40)
+        rms = float(rms)
+        assert rms < rms0 / 5, f"rms {rms0:.4f} -> {rms:.4f}"
+        assert rms < 0.003  # close to the 0.001 noise floor
+        # rotation errors small
+        for c in range(6):
+            dr = np.degrees(
+                np.linalg.norm(np.asarray(log_so3(R[c] @ jnp.asarray(Rs[c].T))))
+            )
+            assert dr < 0.5, f"cam {c} rot err {dr:.3f} deg"
+
+    def test_robust_to_outliers(self, rng):
+        problem, Rs, ts, X = build_problem(rng, outlier_frac=0.1)
+        R, t, Xout, rms = bundle_adjust(problem, outer_iters=10, cg_iters=30)
+        # median reprojection error should still reach the noise floor
+        prob2 = problem._replace(cam_rotmats=R, cam_trans=t, points=Xout)
+        errs = np.asarray(reprojection_errors(prob2))
+        med = np.median(errs[np.isfinite(errs)])
+        assert med < 0.005, f"median err {med:.4f}"
+
+    def test_invalid_observations_ignored(self, rng):
+        problem, *_ = build_problem(rng, n_cams=3, n_pts=50)
+        # corrupt half the observations but mark them invalid
+        n = problem.obs_uv.shape[0]
+        bad = np.zeros(n, bool)
+        bad[: n // 2] = True
+        uv = np.asarray(problem.obs_uv).copy()
+        uv[bad] += 100.0
+        problem = problem._replace(
+            obs_uv=jnp.asarray(uv), obs_valid=jnp.asarray(~bad)
+        )
+        R, t, Xout, rms = bundle_adjust(problem, outer_iters=6, cg_iters=20)
+        assert float(rms) < 0.01

@@ -1,0 +1,131 @@
+"""End-to-end SfM: render a textured synthetic scene with the gaussian renderer,
+run the incremental mapper on the images, and check pose recovery (up to a
+similarity transform)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_splat.core.types import Cameras, GaussianCloud
+from tpu_splat.gs.render import render_cloud
+from tpu_splat.sfm.features import FeatureConfig
+from tpu_splat.sfm.geometry import log_so3, umeyama_alignment
+from tpu_splat.sfm.mapper import MapperConfig, run_sfm
+
+W = H = 160
+FX = 140.0
+
+
+def make_textured_scene(rng, n_gauss=4000):
+    """A textured 'rock' on a textured ground plane.
+
+    The plane matters: features on a lone (near-)quadric surface are a critical
+    configuration for two-view essential-matrix estimation — real captures have
+    background structure that breaks the ambiguity, so the test scene should too."""
+    # bumpy sphere
+    dirs = rng.normal(size=(n_gauss, 3))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    radius = 1.0 + 0.25 * np.sin(5 * dirs[:, 0]) * np.cos(4 * dirs[:, 1]) + 0.05 * rng.normal(size=n_gauss)
+    rock = dirs * radius[:, None]
+    # ground plane below (OpenCV convention: +y is down)
+    n_plane = n_gauss // 2
+    plane = np.stack([
+        rng.uniform(-3, 3, n_plane),
+        np.full(n_plane, 1.3) + rng.normal(0, 0.02, n_plane),
+        rng.uniform(-3, 3, n_plane),
+    ], axis=1)
+    means = np.concatenate([rock, plane])
+    n = means.shape[0]
+    # bimodal luminance -> strong grayscale texture for the detector
+    lum = rng.choice([0.1, 0.9], size=(n, 1))
+    colors = np.clip(lum + rng.uniform(-0.1, 0.1, (n, 3)), 0, 1)
+    return GaussianCloud(
+        means=jnp.asarray(means, jnp.float32),
+        scales=jnp.full((n, 3), np.log(0.035), jnp.float32),
+        quats=jnp.asarray(
+            np.concatenate([np.ones((n, 1)), np.zeros((n, 3))], 1), jnp.float32
+        ),
+        opacities=jnp.full((n,), 4.0, jnp.float32),
+        sh0=jnp.asarray((colors - 0.5) / 0.2820948, jnp.float32),
+        shN=jnp.zeros((n, 0, 3), jnp.float32),
+    )
+
+
+def ring_cameras(n_views=16, radius=4.0, elev=0.6):
+    mats = []
+    for ang in np.linspace(0, 4 * np.pi / 3, n_views):  # 240 degrees of arc
+        eye = np.array([radius * np.cos(ang), elev, radius * np.sin(ang)])
+        z = -eye / np.linalg.norm(eye)
+        up = np.array([0.0, -1.0, 0.0])
+        x = np.cross(up, z)
+        x /= np.linalg.norm(x)
+        y = np.cross(z, x)
+        R = np.stack([x, y, z])
+        w2c = np.eye(4, dtype=np.float32)
+        w2c[:3, :3] = R
+        w2c[:3, 3] = -R @ eye
+        mats.append(w2c)
+    return np.stack(mats)
+
+
+@pytest.fixture(scope="module")
+def rendered_capture():
+    rng = np.random.default_rng(5)
+    cloud = make_textured_scene(rng)
+    viewmats = ring_cameras()
+    n = len(viewmats)
+    cams = Cameras(
+        camtoworlds=jnp.asarray(np.linalg.inv(viewmats)),
+        fx=jnp.full((n,), FX), fy=jnp.full((n,), FX),
+        cx=jnp.full((n,), W / 2), cy=jnp.full((n,), H / 2),
+        distortion=jnp.zeros((n, 4)), width=W, height=H,
+    )
+    images = np.stack([
+        np.asarray(render_cloud(cloud, cams, i, background=jnp.full(3, 0.7),
+                                max_per_tile=256).color)
+        for i in range(n)
+    ])
+    return images, viewmats
+
+
+def test_sfm_recovers_ring(rendered_capture):
+    images, viewmats_gt = rendered_capture
+    n = len(viewmats_gt)
+    logs = []
+    cfg = MapperConfig(
+        feature=FeatureConfig(
+            max_features=1024, num_octaves=3, contrast_threshold=0.006,
+            upsample_first=True,
+        ),
+        matching_method="exhaustive",
+        ratio=0.9,
+        min_pair_inliers=20,
+        ba_every=3,
+    )
+    scene = run_sfm(images, cfg, fx=FX, fy=FX, cx=W / 2, cy=H / 2,
+                    log_fn=logs.append)
+    reg = np.asarray(scene.registered)
+    assert reg.sum() >= n - 2, f"only {reg.sum()}/{n} registered; log: {logs}"
+    assert scene.num_points > 100, f"only {scene.num_points} points"
+
+    # align recovered camera centers to GT with a similarity transform
+    gt_centers = np.stack([
+        -viewmats_gt[i][:3, :3].T @ viewmats_gt[i][:3, 3] for i in range(n)
+    ])[reg]
+    rec_centers = np.asarray(scene.cameras.camtoworlds[:, :3, 3])
+    s, R, t = umeyama_alignment(jnp.asarray(rec_centers, jnp.float32),
+                                jnp.asarray(gt_centers, jnp.float32))
+    aligned = float(s) * rec_centers @ np.asarray(R).T + np.asarray(t)
+    rmse = np.sqrt(np.mean(np.sum((aligned - gt_centers) ** 2, axis=-1)))
+    scene_size = 4.0  # ring radius
+    # Quality ratchet: incremental chains on 160px images accumulate scale drift
+    # (~25% today); downstream 3DGS camera-pose optimization absorbs the residual.
+    # Tighten as the front end improves (learned descriptors / global SfM).
+    assert rmse < 0.35 * scene_size, f"camera center RMSE {rmse:.3f}; log: {logs}"
+
+    # points should lie in the scene volume (rock + ground plane), not at infinity
+    pts = float(s) * np.asarray(scene.points) @ np.asarray(R).T + np.asarray(t)
+    r = np.linalg.norm(pts, axis=-1)
+    frac_near = np.mean(r < 6.0)
+    assert frac_near > 0.8, f"only {frac_near:.0%} points in scene volume"

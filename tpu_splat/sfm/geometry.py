@@ -26,14 +26,21 @@ def hat(v: jnp.ndarray) -> jnp.ndarray:
 
 
 def exp_so3(w: jnp.ndarray) -> jnp.ndarray:
-    """Rodrigues: (..., 3) axis-angle -> (..., 3, 3) rotation."""
-    theta = jnp.linalg.norm(w, axis=-1, keepdims=True)[..., None]
-    k = hat(w / jnp.maximum(jnp.linalg.norm(w, axis=-1, keepdims=True), 1e-12))
-    eye = jnp.broadcast_to(jnp.eye(3), k.shape)
-    s = jnp.sin(theta)
-    c = jnp.cos(theta)
-    R = eye + s * k + (1 - c) * (k @ k)
-    return jnp.where(theta < 1e-8, eye + hat(w), R)
+    """Rodrigues: (..., 3) axis-angle -> (..., 3, 3) rotation.
+
+    Written in sinc form (no w/|w| normalization) so gradients are finite at
+    w = 0 — BA gauge-fixes cameras by zeroing their updates, and a NaN gradient
+    at the origin would poison the whole Hessian-vector product."""
+    n2 = jnp.sum(w * w, axis=-1, keepdims=True)[..., None]
+    # eps keeps theta >= 1e-6: sin(theta)/theta == 1 in f32 there, and no
+    # denominator gets small enough for its gradient to overflow f32.
+    t2 = n2 + 1e-12
+    theta = jnp.sqrt(t2)
+    a = jnp.sin(theta) / theta
+    b = (1.0 - jnp.cos(theta)) / t2  # -> 0 as w -> 0; multiplies hat(w)^2 which is O(w^2)
+    k = hat(w)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), k.shape)
+    return eye + a * k + b * (k @ k)
 
 
 def log_so3(R: jnp.ndarray) -> jnp.ndarray:
@@ -240,6 +247,26 @@ def decompose_essential(
     return Rs[best], ts[best]
 
 
+def umeyama_alignment(src: jnp.ndarray, dst: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Similarity transform (s, R, t) minimizing ||dst - (s R src + t)||^2.
+
+    Used to compare reconstructions to ground truth and to anchor metric scale
+    (tripod measurement). Classic Umeyama closed form via SVD of the cross-covariance."""
+    mu_s = jnp.mean(src, axis=0)
+    mu_d = jnp.mean(dst, axis=0)
+    sc = src - mu_s
+    dc = dst - mu_d
+    cov = dc.T @ sc / src.shape[0]
+    u, s, vt = jnp.linalg.svd(cov)
+    d = jnp.sign(jnp.linalg.det(u @ vt))
+    S = jnp.diag(jnp.array([1.0, 1.0, d]))
+    R = u @ S @ vt
+    var_s = jnp.mean(jnp.sum(sc**2, axis=-1))
+    scale = jnp.sum(s * jnp.diag(S)) / jnp.maximum(var_s, 1e-12)
+    t = mu_d - scale * R @ mu_s
+    return scale, R, t
+
+
 def _pnp_dlt(X: jnp.ndarray, xn: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Projection-matrix DLT from 6+ 3D-2D correspondences (normalized coords),
     followed by orthogonalization of the rotation block."""
@@ -305,6 +332,59 @@ def pnp_ransac(
     p = inl.astype(jnp.float32)
     p = p / jnp.maximum(p.sum(), 1.0)
     return stage(k3, p, 32, num_hypotheses // 2)
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def pnp_refine_annealed(
+    R0: jnp.ndarray,
+    t0: jnp.ndarray,
+    points3d: jnp.ndarray,
+    points2d_n: jnp.ndarray,
+    valid: jnp.ndarray,
+    threshold: float,
+    iters: int = 20,
+    start_multiplier: float = 8.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Trimmed Gauss-Newton PnP from a pose seed, with an annealed inlier gate.
+
+    The workhorse of incremental registration: minimal DLT PnP is hopelessly
+    noise-sensitive (the A-matrix null space collapses at ~1px noise on small
+    images), but a pose seed from a connected, already-registered camera plus
+    hard-trimmed GN with a threshold annealed from `start_multiplier * threshold`
+    down to `threshold` converges reliably. Returns (R, t, inliers)."""
+
+    def resid(params):
+        w, dt = params[:3], params[3:]
+        R = exp_so3(w) @ R0
+        t = t0 + dt
+        pc = points3d @ R.T + t
+        z = jnp.maximum(pc[:, 2], 1e-6)
+        proj = pc[:, :2] / z[:, None]
+        r = (proj - points2d_n).reshape(-1)
+        return r
+
+    def gn_step(params, it):
+        anneal = jnp.maximum(
+            start_multiplier * (0.8 ** it.astype(jnp.float32)), 1.0
+        ) * threshold
+        r = resid(params).reshape(-1, 2)
+        e = jnp.linalg.norm(r, axis=-1)
+        wgt = ((e < anneal) & valid).astype(jnp.float32)
+        w2 = jnp.repeat(wgt, 2)
+        J = jax.jacfwd(resid)(params)  # (2M, 6)
+        JW = J * w2[:, None]
+        H = JW.T @ J + 1e-5 * jnp.eye(6)
+        g = JW.T @ r.reshape(-1)
+        return params - jnp.linalg.solve(H, g), None
+
+    params, _ = jax.lax.scan(gn_step, jnp.zeros(6), jnp.arange(iters))
+    R = exp_so3(params[:3]) @ R0
+    t = t0 + params[3:]
+    pc = points3d @ R.T + t
+    z = jnp.maximum(pc[:, 2], 1e-6)
+    err = jnp.linalg.norm(pc[:, :2] / z[:, None] - points2d_n, axis=-1)
+    inl = (err < threshold) & (pc[:, 2] > 0) & valid
+    return R, t, inl
 
 
 def refine_pnp(

@@ -1,0 +1,610 @@
+"""Incremental structure-from-motion mapper.
+
+The COLMAP-mapper replacement (main.py:1114-1154): images -> camera poses + sparse
+points. Control flow (registration order, track bookkeeping) runs on the host in
+numpy — it is inherently sequential and data-dependent — while every numeric
+kernel (feature extraction, matching, RANSAC, triangulation, bundle adjustment)
+is a jitted static-shape JAX function from the sibling modules.
+
+Pipeline:
+ 1. SIFT features per image (features.py), static top-K per image.
+ 2. Pair policy (matching.py) -> descriptor matching -> essential-RANSAC
+    verification per pair; weak pairs discarded.
+ 3. Track building: union-find over (image, keypoint) observations.
+ 4. Initialization from the strongest verified pair (most inliers with enough
+    parallax); triangulate its tracks.
+ 5. Incremental registration: next image = most 2D-3D correspondences ->
+    progressive-RANSAC PnP -> triangulate its new tracks (multi-view DLT) ->
+    periodic global bundle adjustment + outlier filtering.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_splat.core.types import Cameras, SfMScene
+from tpu_splat.sfm.ba import BAProblem, bundle_adjust, reprojection_errors
+from tpu_splat.sfm.features import FeatureConfig, extract_features, rgb_to_gray
+from tpu_splat.sfm.geometry import (
+    pnp_refine_annealed,
+    decompose_essential,
+    essential_ransac,
+    pnp_ransac,
+    refine_pnp,
+    triangulate_dlt,
+    triangulate_multiview,
+)
+from tpu_splat.sfm.matching import guided_match, match_descriptors, select_pairs
+
+
+@dataclass
+class MapperConfig:
+    feature: FeatureConfig = field(default_factory=FeatureConfig)
+    matching_method: str = "sequential"
+    exhaustive_max_images: int = 20
+    ratio: float = 0.8
+    max_matches_per_pair: int = 2048
+    pixel_threshold: float = 4.0  # RANSAC / filtering threshold in pixels
+    min_pair_inliers: int = 15
+    min_pnp_inliers: int = 12
+    min_triangulation_angle_deg: float = 1.5
+    ba_every: int = 5  # global BA after this many new registrations
+    ba_outer_iters: int = 10
+    ba_cg_iters: int = 24
+    max_reproj_error_px: float = 4.0
+    focal_prior_factor: float = 1.2  # fx ~ 1.2 * max(w, h) when unknown
+    seed: int = 0
+
+
+class _UnionFind:
+    def __init__(self, n: int):
+        self.parent = np.arange(n, dtype=np.int64)
+
+    def find(self, i):
+        root = i
+        while self.parent[root] != root:
+            root = self.parent[root]
+        while self.parent[i] != root:
+            self.parent[i], i = root, self.parent[i]
+        return root
+
+    def union(self, a, b):
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            self.parent[rb] = ra
+
+
+def _pad_pow2(n: int, floor: int = 1024) -> int:
+    return max(floor, 1 << int(math.ceil(math.log2(max(n, 1)))))
+
+
+class IncrementalMapper:
+    """Host-side driver. Use run_sfm() for the one-call API."""
+
+    def __init__(self, images: np.ndarray, cfg: MapperConfig,
+                 fx: Optional[float] = None, fy: Optional[float] = None,
+                 cx: Optional[float] = None, cy: Optional[float] = None,
+                 log_fn=None):
+        assert images.ndim in (3, 4), "images: (N, H, W[, 3])"
+        self.images = images
+        self.n = images.shape[0]
+        self.h, self.w = images.shape[1:3]
+        self.cfg = cfg
+        self.fx = fx or cfg.focal_prior_factor * max(self.w, self.h)
+        self.fy = fy or self.fx
+        self.cx = cx if cx is not None else self.w / 2
+        self.cy = cy if cy is not None else self.h / 2
+        self.log = log_fn or (lambda s: None)
+        self.key = jax.random.PRNGKey(cfg.seed)
+
+    def _next_key(self):
+        self.key, sub = jax.random.split(self.key)
+        return sub
+
+    # ---------- stage 1: features ----------
+
+    def extract_all(self):
+        feats = []
+        for i in range(self.n):
+            img = self.images[i]
+            gray = rgb_to_gray(jnp.asarray(img)) if img.ndim == 3 else jnp.asarray(img)
+            f = extract_features(gray, self.cfg.feature, self.h, self.w)
+            feats.append(jax.tree.map(np.asarray, f))
+        self.feats = feats
+        self.log(f"features: {self.n} images, "
+                 f"{np.mean([f.valid.sum() for f in feats]):.0f} kps/image avg")
+
+    # ---------- stage 2: matching + verification ----------
+
+    def match_all(self):
+        cfg = self.cfg
+        descs = np.stack([f.descriptor for f in self.feats])
+        valids = np.stack([f.valid for f in self.feats])
+        pairs = select_pairs(
+            cfg.matching_method, self.n,
+            exhaustive_max_images=cfg.exhaustive_max_images,
+            descriptors=descs, valids=valids,
+        )
+        thresh_n = cfg.pixel_threshold / self.fx
+        self.pair_matches: Dict[Tuple[int, int], np.ndarray] = {}
+        self.pair_inliers: Dict[Tuple[int, int], int] = {}
+        for a, b in pairs:
+            m = match_descriptors(
+                jnp.asarray(self.feats[a].descriptor), jnp.asarray(self.feats[a].valid),
+                jnp.asarray(self.feats[b].descriptor), jnp.asarray(self.feats[b].valid),
+                ratio=cfg.ratio, max_matches=cfg.max_matches_per_pair,
+            )
+            idx = np.asarray(m.idx)
+            mval = np.asarray(m.valid)
+            if mval.sum() < cfg.min_pair_inliers:
+                continue
+            xa = self._norm_coords(a, idx[:, 0])
+            xb = self._norm_coords(b, idx[:, 1])
+            E, inl = essential_ransac(
+                jnp.asarray(xa), jnp.asarray(xb), jnp.asarray(mval),
+                self._next_key(), threshold=thresh_n,
+            )
+            inl = np.asarray(inl)
+            if inl.sum() < cfg.min_pair_inliers:
+                continue
+            # Guided re-matching: with E verified, gate by the epipolar constraint
+            # instead of the ratio test — recovers matches the conservative first
+            # pass dropped and lengthens tracks.
+            xa_all = self._norm_coords(a, np.arange(self.feats[a].xy.shape[0]))
+            xb_all = self._norm_coords(b, np.arange(self.feats[b].xy.shape[0]))
+            gm = guided_match(
+                jnp.asarray(self.feats[a].descriptor), jnp.asarray(self.feats[a].valid),
+                jnp.asarray(xa_all),
+                jnp.asarray(self.feats[b].descriptor), jnp.asarray(self.feats[b].valid),
+                jnp.asarray(xb_all),
+                E, epipolar_threshold=thresh_n,
+                max_matches=cfg.max_matches_per_pair,
+            )
+            gidx = np.asarray(gm.idx)[np.asarray(gm.valid)]
+            if len(gidx) >= inl.sum():
+                self.pair_matches[(int(a), int(b))] = gidx
+                self.pair_inliers[(int(a), int(b))] = len(gidx)
+            else:
+                self.pair_matches[(int(a), int(b))] = idx[inl]
+                self.pair_inliers[(int(a), int(b))] = int(inl.sum())
+        self.log(f"matching: {len(self.pair_matches)}/{len(pairs)} pairs verified")
+
+    def _norm_coords(self, img_idx: int, feat_idx: np.ndarray) -> np.ndarray:
+        xy = self.feats[img_idx].xy[feat_idx]
+        return np.stack(
+            [(xy[:, 0] - self.cx) / self.fx, (xy[:, 1] - self.cy) / self.fy], axis=1
+        ).astype(np.float32)
+
+    # ---------- stage 3: tracks ----------
+
+    def build_tracks(self):
+        k = self.cfg.feature.max_features
+        uf = _UnionFind(self.n * k)
+        for (a, b), idx in self.pair_matches.items():
+            for fa, fb in idx:
+                uf.union(a * k + int(fa), b * k + int(fb))
+        groups: Dict[int, List[Tuple[int, int]]] = {}
+        for (a, b), idx in self.pair_matches.items():
+            for fa, fb in idx:
+                for node in (a * k + int(fa), b * k + int(fb)):
+                    root = uf.find(node)
+                    groups.setdefault(root, [])
+        # second pass to fill observation lists; a track that claims two
+        # different features in the same image is a faulty merge -> drop it.
+        seen = {}
+        bad_roots = set()
+        for (a, b), idx in self.pair_matches.items():
+            for fa, fb in idx:
+                for img, feat in ((a, int(fa)), (b, int(fb))):
+                    root = uf.find(img * k + feat)
+                    key = (root, img)
+                    if key not in seen:
+                        seen[key] = feat
+                        groups[root].append((img, feat))
+                    elif seen[key] != feat:
+                        bad_roots.add(root)
+        # keep consistent tracks with >= 2 observations in distinct images
+        self.tracks: List[List[Tuple[int, int]]] = [
+            obs for root, obs in groups.items()
+            if len(obs) >= 2 and root not in bad_roots
+        ]
+        # per-image: track_id -> feature
+        self.img_tracks: List[Dict[int, int]] = [dict() for _ in range(self.n)]
+        for tid, obs in enumerate(self.tracks):
+            for img, feat in obs:
+                self.img_tracks[img][tid] = feat
+        self.log(f"tracks: {len(self.tracks)} "
+                 f"(mean length {np.mean([len(t) for t in self.tracks]):.1f})")
+
+    # ---------- stage 4/5: reconstruction ----------
+
+    def reconstruct(self) -> SfMScene:
+        cfg = self.cfg
+        n_tracks = len(self.tracks)
+        self.R = np.zeros((self.n, 3, 3), np.float32)
+        self.t = np.zeros((self.n, 3), np.float32)
+        self.registered = np.zeros(self.n, bool)
+        self.points = np.zeros((n_tracks, 3), np.float32)
+        self.has_point = np.zeros(n_tracks, bool)
+        thresh_n = cfg.pixel_threshold / self.fx
+
+        # Initialization: try the strongest verified pairs and keep the one whose
+        # relative pose actually triangulates its tracks (guards against
+        # critical-surface degeneracies where a wrong E still has high consensus).
+        if not self.pair_matches:
+            raise RuntimeError("SfM failed to converge: no verified image pairs")
+        candidates = sorted(
+            self.pair_inliers, key=self.pair_inliers.get, reverse=True
+        )[:5]
+        best = None  # (n_points, a, b, Rb, tb, points, has_point)
+        for (a, b) in candidates:
+            idx = self.pair_matches[(a, b)]
+            xa = self._norm_coords(a, idx[:, 0])
+            xb = self._norm_coords(b, idx[:, 1])
+            E, inl = essential_ransac(
+                jnp.asarray(xa), jnp.asarray(xb), jnp.ones(len(xa), bool),
+                self._next_key(), threshold=thresh_n,
+            )
+            Rrel, trel = decompose_essential(E, jnp.asarray(xa), jnp.asarray(xb), inl)
+            self.R[a], self.t[a] = np.eye(3, dtype=np.float32), np.zeros(3, np.float32)
+            self.R[b], self.t[b] = np.asarray(Rrel), np.asarray(trel)
+            self.registered[:] = False
+            self.registered[[a, b]] = True
+            self.points[:] = 0
+            self.has_point[:] = False
+            self._triangulate_image_tracks([a, b])
+            n_pts = int(self.has_point.sum())
+            self.log(
+                f"init candidate ({a},{b}): {int(np.asarray(inl).sum())} inliers, "
+                f"{n_pts} triangulated"
+            )
+            if best is None or n_pts > best[0]:
+                best = (n_pts, a, b, self.R[b].copy(), self.t[b].copy(),
+                        self.points.copy(), self.has_point.copy())
+            if n_pts > 0.6 * self.pair_inliers[(a, b)]:
+                break  # good enough, stop searching
+        n_pts, a, b, Rb, tb, pts, hp = best
+        if n_pts < self.cfg.min_pnp_inliers:
+            raise RuntimeError(
+                "SfM failed to converge: no initialization pair triangulates"
+            )
+        self.R[a], self.t[a] = np.eye(3, dtype=np.float32), np.zeros(3, np.float32)
+        self.R[b], self.t[b] = Rb, tb
+        self.registered[:] = False
+        self.registered[[a, b]] = True
+        self.points, self.has_point = pts, hp
+        self.log(f"init pair ({a},{b}): {n_pts} points")
+        since_ba = 0
+        self._attempts = np.zeros(self.n, np.int32)
+        while True:
+            nxt = self._next_image()
+            if nxt is None:
+                break
+            self._attempts[nxt] += 1
+            ok = self._register_image(nxt)
+            if not ok:
+                self.registered[nxt] = False
+                continue
+            self._triangulate_image_tracks([nxt])
+            since_ba += 1
+            if since_ba >= cfg.ba_every:
+                self._bundle_adjust()
+                self._filter_observations()
+                self._retriangulate()
+                since_ba = 0
+        self._bundle_adjust()
+        self._filter_observations()
+        self._retriangulate()
+        self._bundle_adjust()
+        self._filter_points()
+        return self._to_scene()
+
+    def _filter_observations(self):
+        """Drop individual track observations whose reprojection error exceeds the
+        threshold (and kill points left with < 2 registered observations). The
+        COLMAP-style post-BA cleanup that keeps outlier matches from pulling BA."""
+        max_err_n = self.cfg.max_reproj_error_px / self.fx
+        n_dropped = 0
+        for tid in np.nonzero(self.has_point)[0]:
+            kept = []
+            for img, feat in self.tracks[tid]:
+                if not self.registered[img]:
+                    kept.append((img, feat))
+                    continue
+                pc = self.R[img] @ self.points[tid] + self.t[img]
+                if pc[2] <= 1e-6:
+                    n_dropped += 1
+                    self.img_tracks[img].pop(tid, None)
+                    continue
+                err = np.linalg.norm(
+                    pc[:2] / pc[2] - self._norm_coords(img, np.array([feat]))[0]
+                )
+                if err > max_err_n:
+                    n_dropped += 1
+                    self.img_tracks[img].pop(tid, None)
+                    continue
+                kept.append((img, feat))
+            self.tracks[tid] = kept
+            n_reg = sum(self.registered[img] for img, _ in kept)
+            if n_reg < 2:
+                self.has_point[tid] = False
+        if n_dropped:
+            self.log(f"filter: dropped {n_dropped} observations")
+
+    def _retriangulate(self):
+        """Attempt triangulation of all not-yet-triangulated tracks with >= 2
+        registered observations (coverage grows as cameras register/BA improves)."""
+        self._triangulate_image_tracks(list(np.nonzero(self.registered)[0]))
+
+    def _next_image(self) -> Optional[int]:
+        best, best_count = None, 0
+        for i in range(self.n):
+            if self.registered[i] or self._attempts[i] >= 3 or not self.img_tracks[i]:
+                continue
+            count = sum(
+                1 for tid in self.img_tracks[i] if self.has_point[tid]
+            )
+            if count > best_count:
+                best, best_count = i, count
+        if best is None or best_count < self.cfg.min_pnp_inliers:
+            return None
+        return best
+
+    def _register_image(self, i: int) -> bool:
+        cfg = self.cfg
+        tids = [tid for tid in self.img_tracks[i] if self.has_point[tid]]
+        if len(tids) < cfg.min_pnp_inliers:
+            return False
+        feats = np.array([self.img_tracks[i][tid] for tid in tids])
+        X = self.points[tids]
+        xn = self._norm_coords(i, feats)
+        pad = _pad_pow2(len(tids), floor=256)
+        Xp = np.zeros((pad, 3), np.float32)
+        xp = np.zeros((pad, 2), np.float32)
+        vp = np.zeros(pad, bool)
+        Xp[: len(tids)] = X
+        xp[: len(tids)] = xn
+        vp[: len(tids)] = True
+        thresh_n = cfg.pixel_threshold / self.fx
+
+        # Pose seeds: the most track-connected registered cameras (annealed
+        # trimmed-GN from a neighbor pose is far more noise-robust than minimal
+        # DLT), plus one DLT-RANSAC estimate for the wide-baseline case.
+        shared: Dict[int, int] = {}
+        for tid in tids:
+            for img, _ in self.tracks[tid]:
+                if self.registered[img]:
+                    shared[img] = shared.get(img, 0) + 1
+        seeds = sorted(shared, key=shared.get, reverse=True)[:3]
+        candidates = [(self.R[s], self.t[s]) for s in seeds]
+        R_dlt, t_dlt, _ = pnp_ransac(
+            jnp.asarray(Xp), jnp.asarray(xp), jnp.asarray(vp), self._next_key(),
+            threshold=thresh_n,
+        )
+        candidates.append((np.asarray(R_dlt), np.asarray(t_dlt)))
+
+        best = None  # (count, R, t)
+        for R0, t0 in candidates:
+            R, t, inl = pnp_refine_annealed(
+                jnp.asarray(R0, jnp.float32), jnp.asarray(t0, jnp.float32),
+                jnp.asarray(Xp), jnp.asarray(xp), jnp.asarray(vp),
+                threshold=thresh_n,
+            )
+            count = int(np.asarray(inl).sum())
+            if best is None or count > best[0]:
+                best = (count, np.asarray(R), np.asarray(t))
+        count, R, t = best
+        if count < cfg.min_pnp_inliers:
+            self.log(f"register {i}: FAILED ({count} inliers)")
+            return False
+        self.R[i], self.t[i] = R, t
+        self.registered[i] = True
+        self.log(f"register {i}: {count}/{len(tids)} PnP inliers")
+        return True
+
+    def _triangulate_image_tracks(self, img_ids: List[int]):
+        """(Re)triangulate tracks observed by the given images using all
+        registered observations (batched multi-view DLT)."""
+        cfg = self.cfg
+        cand = set()
+        for i in img_ids:
+            for tid in self.img_tracks[i]:
+                if not self.has_point[tid]:
+                    cand.add(tid)
+        cand = [
+            tid for tid in cand
+            if sum(self.registered[img] for img, _ in self.tracks[tid]) >= 2
+        ]
+        if not cand:
+            return
+        max_views = 8
+        Ps = np.zeros((len(cand), max_views, 3, 4), np.float32)
+        xs = np.zeros((len(cand), max_views, 2), np.float32)
+        vs = np.zeros((len(cand), max_views), bool)
+        for row, tid in enumerate(cand):
+            col = 0
+            for img, feat in self.tracks[tid]:
+                if not self.registered[img] or col >= max_views:
+                    continue
+                Ps[row, col, :, :3] = self.R[img]
+                Ps[row, col, :, 3] = self.t[img]
+                xs[row, col] = self._norm_coords(img, np.array([feat]))[0]
+                vs[row, col] = True
+                col += 1
+        X = np.asarray(
+            jax.vmap(triangulate_multiview)(
+                jnp.asarray(Ps), jnp.asarray(xs), jnp.asarray(vs)
+            )
+        )
+        # acceptance: in front of all views, small reprojection error, parallax
+        ok = np.ones(len(cand), bool)
+        max_err_n = cfg.max_reproj_error_px / self.fx
+        rays = []
+        for row, tid in enumerate(cand):
+            errs, centers = [], []
+            for col in range(max_views):
+                if not vs[row, col]:
+                    continue
+                R, t = Ps[row, col, :, :3], Ps[row, col, :, 3]
+                pc = R @ X[row] + t
+                if pc[2] <= 1e-6:
+                    ok[row] = False
+                    break
+                err = np.linalg.norm(pc[:2] / pc[2] - xs[row, col])
+                errs.append(err)
+                centers.append(-R.T @ t)
+            else:
+                if max(errs) > max_err_n:
+                    ok[row] = False
+                elif len(centers) >= 2:
+                    d1 = X[row] - centers[0]
+                    d2 = X[row] - centers[-1]
+                    cosang = d1 @ d2 / max(np.linalg.norm(d1) * np.linalg.norm(d2), 1e-12)
+                    ang = np.degrees(np.arccos(np.clip(cosang, -1, 1)))
+                    if ang < cfg.min_triangulation_angle_deg:
+                        ok[row] = False
+        for row, tid in enumerate(cand):
+            if ok[row]:
+                self.points[tid] = X[row]
+                self.has_point[tid] = True
+
+    def _gather_observations(self):
+        """Flatten (registered-image, live-track) observations into BA arrays."""
+        cam_ids = np.nonzero(self.registered)[0]
+        cam_map = {int(c): k for k, c in enumerate(cam_ids)}
+        live = np.nonzero(self.has_point)[0]
+        pt_map = {int(p): k for k, p in enumerate(live)}
+        obs_cam, obs_pt, obs_uv = [], [], []
+        for tid in live:
+            for img, feat in self.tracks[tid]:
+                if not self.registered[img]:
+                    continue
+                obs_cam.append(cam_map[img])
+                obs_pt.append(pt_map[tid])
+                obs_uv.append(self._norm_coords(img, np.array([feat]))[0])
+        return cam_ids, live, np.array(obs_cam), np.array(obs_pt), np.array(obs_uv)
+
+    def _bundle_adjust(self):
+        if self.registered.sum() < 2 or self.has_point.sum() < 8:
+            return
+        cfg = self.cfg
+        cam_ids, live, obs_cam, obs_pt, obs_uv = self._gather_observations()
+        o = len(obs_cam)
+        pad = _pad_pow2(o, floor=2048)
+        oc = np.zeros(pad, np.int32)
+        op = np.zeros(pad, np.int32)
+        ouv = np.zeros((pad, 2), np.float32)
+        ov = np.zeros(pad, bool)
+        oc[:o], op[:o], ouv[:o], ov[:o] = obs_cam, obs_pt, obs_uv, True
+
+        problem = BAProblem(
+            cam_rotmats=jnp.asarray(self.R[cam_ids]),
+            cam_trans=jnp.asarray(self.t[cam_ids]),
+            points=jnp.asarray(self.points[live]),
+            obs_cam=jnp.asarray(oc),
+            obs_pt=jnp.asarray(op),
+            obs_uv=jnp.asarray(ouv),
+            obs_valid=jnp.asarray(ov),
+        )
+        R, t, X, rms = bundle_adjust(
+            problem,
+            huber_delta=cfg.pixel_threshold / self.fx,
+            outer_iters=cfg.ba_outer_iters,
+            cg_iters=cfg.ba_cg_iters,
+        )
+        self.R[cam_ids] = np.asarray(R)
+        self.t[cam_ids] = np.asarray(t)
+        self.points[live] = np.asarray(X)
+        self.log(
+            f"BA: {len(cam_ids)} cams, {len(live)} pts, {o} obs, "
+            f"rms {float(rms) * self.fx:.2f}px"
+        )
+
+    def _filter_points(self):
+        """Drop observations/points with high reprojection error or behind cameras."""
+        max_err_n = self.cfg.max_reproj_error_px / self.fx
+        live = np.nonzero(self.has_point)[0]
+        for tid in live:
+            errs = []
+            for img, feat in self.tracks[tid]:
+                if not self.registered[img]:
+                    continue
+                pc = self.R[img] @ self.points[tid] + self.t[img]
+                if pc[2] <= 1e-6:
+                    errs.append(np.inf)
+                    continue
+                errs.append(
+                    np.linalg.norm(
+                        pc[:2] / pc[2] - self._norm_coords(img, np.array([feat]))[0]
+                    )
+                )
+            if not errs or np.median(errs) > max_err_n:
+                self.has_point[tid] = False
+
+    def _to_scene(self) -> SfMScene:
+        live = np.nonzero(self.has_point)[0]
+        pts = self.points[live]
+        # colors: sample the first registered observation of each track
+        colors = np.zeros((len(live), 3), np.float32)
+        errors = np.zeros(len(live), np.float32)
+        counts = np.zeros(len(live), np.int32)
+        for row, tid in enumerate(live):
+            for img, feat in self.tracks[tid]:
+                if not self.registered[img]:
+                    continue
+                x, y = self.feats[img].xy[feat]
+                xi = int(np.clip(round(x), 0, self.w - 1))
+                yi = int(np.clip(round(y), 0, self.h - 1))
+                im = self.images[img]
+                colors[row] = im[yi, xi] if im.ndim == 3 else np.repeat(im[yi, xi], 3)
+                break
+            counts[row] = sum(self.registered[img] for img, _ in self.tracks[tid])
+
+        cam_ids = np.nonzero(self.registered)[0]
+        w2c = np.tile(np.eye(4, dtype=np.float32), (len(cam_ids), 1, 1))
+        w2c[:, :3, :3] = self.R[cam_ids]
+        w2c[:, :3, 3] = self.t[cam_ids]
+        c2w = np.linalg.inv(w2c)
+        cams = Cameras(
+            camtoworlds=jnp.asarray(c2w),
+            fx=jnp.full((len(cam_ids),), self.fx, jnp.float32),
+            fy=jnp.full((len(cam_ids),), self.fy, jnp.float32),
+            cx=jnp.full((len(cam_ids),), self.cx, jnp.float32),
+            cy=jnp.full((len(cam_ids),), self.cy, jnp.float32),
+            distortion=jnp.zeros((len(cam_ids), 4)),
+            width=self.w,
+            height=self.h,
+        )
+        self.cam_ids = cam_ids
+        return SfMScene(
+            cameras=cams,
+            points=jnp.asarray(pts),
+            point_colors=jnp.asarray(colors),
+            point_errors=jnp.asarray(errors),
+            track_counts=jnp.asarray(counts),
+            registered=jnp.asarray(self.registered),
+        )
+
+
+def run_sfm(
+    images: np.ndarray,
+    cfg: Optional[MapperConfig] = None,
+    fx: Optional[float] = None,
+    fy: Optional[float] = None,
+    cx: Optional[float] = None,
+    cy: Optional[float] = None,
+    log_fn=None,
+) -> SfMScene:
+    """images (N, H, W[, 3]) float in [0,1] -> SfMScene (poses + sparse points)."""
+    cfg = cfg or MapperConfig()
+    m = IncrementalMapper(images, cfg, fx=fx, fy=fy, cx=cx, cy=cy, log_fn=log_fn)
+    m.extract_all()
+    m.match_all()
+    m.build_tracks()
+    return m.reconstruct()

@@ -67,6 +67,65 @@ def match_descriptors(
     return Matches(idx=pairs, valid=jnp.isfinite(top_scores))
 
 
+@functools.partial(jax.jit, static_argnames=("max_matches",))
+def guided_match(
+    desc_a: jnp.ndarray,
+    valid_a: jnp.ndarray,
+    xy_a_n: jnp.ndarray,
+    desc_b: jnp.ndarray,
+    valid_b: jnp.ndarray,
+    xy_b_n: jnp.ndarray,
+    E: jnp.ndarray,
+    epipolar_threshold: float,
+    min_similarity: float = 0.8,
+    max_matches: int = 2048,
+) -> Matches:
+    """Epipolar-guided re-matching (COLMAP's guided matching analog).
+
+    Once a pair's essential matrix is verified, re-match with the epipolar
+    constraint as a gate instead of the ratio test: candidates are all descriptor
+    pairs that are both similar enough and Sampson-consistent with E; keep mutual
+    best. Recovers matches the conservative ratio test dropped, which lengthens
+    tracks and stiffens bundle adjustment."""
+    sim = desc_a @ desc_b.T  # (Ka, Kb)
+
+    ones_a = jnp.ones_like(xy_a_n[:, :1])
+    ones_b = jnp.ones_like(xy_b_n[:, :1])
+    p1 = jnp.concatenate([xy_a_n, ones_a], axis=-1)  # (Ka, 3)
+    p2 = jnp.concatenate([xy_b_n, ones_b], axis=-1)  # (Kb, 3)
+    Ep1 = p1 @ E.T  # (Ka, 3)
+    Etp2 = p2 @ E  # (Kb, 3)
+    num = (Ep1 @ p2.T) ** 2  # (Ka, Kb): (p2^T E p1)^2 transposed layout
+    den = (
+        (Ep1[:, 0] ** 2 + Ep1[:, 1] ** 2)[:, None]
+        + (Etp2[:, 0] ** 2 + Etp2[:, 1] ** 2)[None, :]
+    )
+    sampson = num / jnp.maximum(den, 1e-12)
+
+    ok = (
+        (sampson < epipolar_threshold**2)
+        & (sim > min_similarity)
+        & valid_a[:, None]
+        & valid_b[None, :]
+    )
+    gated = jnp.where(ok, sim, -jnp.inf)
+    # Ratio test *within* the epipolar-gated candidates: without it, anything
+    # lying along the epipolar line matches freely and floods the tracks.
+    top2, top2_idx = jax.lax.top_k(gated, 2)
+    best_b = top2_idx[:, 0]
+    best_sim = top2[:, 0]
+    d1 = jnp.sqrt(jnp.maximum(2.0 - 2.0 * top2[:, 0], 0.0))
+    d2 = jnp.sqrt(jnp.maximum(2.0 - 2.0 * top2[:, 1], 0.0))
+    ratio_ok = jnp.where(jnp.isfinite(top2[:, 1]), d1 < 0.9 * d2, True)
+    best_a_of_b = jnp.argmax(gated, axis=0)
+    mutual = best_a_of_b[best_b] == jnp.arange(desc_a.shape[0])
+    good = mutual & ratio_ok & jnp.isfinite(best_sim)
+    score = jnp.where(good, best_sim, -jnp.inf)
+    top_scores, sel_a = jax.lax.top_k(score, min(max_matches, score.shape[0]))
+    pairs = jnp.stack([sel_a, best_b[sel_a]], axis=-1).astype(jnp.int32)
+    return Matches(idx=pairs, valid=jnp.isfinite(top_scores))
+
+
 def sequential_pairs(n: int, overlap: int = 10, loop_closure: bool = True) -> np.ndarray:
     """COLMAP sequential-matcher pair list: window + power-of-2 links."""
     pairs = set()
