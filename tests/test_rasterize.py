@@ -82,7 +82,7 @@ class TestRasterizeParity:
         w, h = 64, 48
         bg = np.array([0.1, 0.2, 0.3], np.float32)
         out = rasterize(*[jnp.asarray(a) for a in args], width=w, height=h,
-                        background=jnp.asarray(bg), max_per_tile=128, chunk=32)
+                        background=jnp.asarray(bg), max_per_tile=128)
         ref_img, ref_alpha, ref_d = brute_force_raster(*args, width=w, height=h,
                                                        background=bg)
         np.testing.assert_allclose(np.asarray(out.color), ref_img, atol=1e-4)
@@ -99,14 +99,14 @@ class TestRasterizeParity:
         # red at depth 1 (near), green at depth 5
         out_near_red = rasterize(
             means2d, conics, colors, opac, jnp.array([1.0, 5.0]), radii,
-            width=64, height=48, max_per_tile=16,
+            width=64, height=48, max_per_tile=32,
         )
         c = np.asarray(out_near_red.color)[24, 32]
         assert c[0] > 0.9 and c[1] < 0.06
         # swap depths: green in front
         out_near_green = rasterize(
             means2d, conics, colors, opac, jnp.array([5.0, 1.0]), radii,
-            width=64, height=48, max_per_tile=16,
+            width=64, height=48, max_per_tile=32,
         )
         c = np.asarray(out_near_green.color)[24, 32]
         assert c[1] > 0.9 and c[0] < 0.06
@@ -129,7 +129,7 @@ class TestRasterizeParity:
             out = rasterize(
                 means2d, jnp.asarray(args[1]), colors, opac,
                 jnp.asarray(args[4]), jnp.asarray(args[5]),
-                width=64, height=48, max_per_tile=64, chunk=16,
+                width=64, height=48, max_per_tile=64,
             )
             return jnp.sum(out.color**2)
 

@@ -1,0 +1,312 @@
+"""Pallas TPU kernels for tile compositing — the rasterizer's hot loop.
+
+The XLA scan in rasterize.py materializes (T, chunk, 256) alpha tensors in HBM
+every step and rematerializes them in the backward pass; at production sizes that
+is bandwidth-bound by an order of magnitude. These kernels keep each tile's
+gaussian block and running transmittance in VMEM:
+
+- forward: per-tile alpha compositing over depth-ordered gaussians with early
+  termination once the tile saturates (transmittance < 1e-4).
+- backward: the classic analytic 3DGS gradient — a forward transmittance
+  re-sweep storing per-chunk checkpoints in VMEM scratch, then a reverse sweep
+  accumulating dL/d(mean2d, conic, color, opacity) per gaussian.
+
+Both operate on a packed (T, K, 16) tensor (built by one XLA gather); the
+custom_vjp returns d_packed so JAX's autodiff scatters gradients back to the
+per-gaussian arrays through the packing gather. Channel layout:
+  0:2 mean2d | 2:5 conic(a,b,c) | 5:8 rgb | 8 opacity | 9 depth | 10:16 pad
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpu_splat.gs.rasterize import ALPHA_THRESHOLD, MAX_ALPHA
+
+C_PACK = 16
+CHUNK = 32  # gaussians composited per inner step (VPU sublane-friendly)
+P = 256  # pixels per 16x16 tile
+
+
+def _pixel_coords(tile_id, tx: int, tile_size: int):
+    """(1, P) pixel-center x and y for this tile."""
+    tile_x = (tile_id % tx) * tile_size
+    tile_y = (tile_id // tx) * tile_size
+    lin = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
+    px = (tile_x + lin % tile_size).astype(jnp.float32) + 0.5
+    py = (tile_y + lin // tile_size).astype(jnp.float32) + 0.5
+    return px, py
+
+
+def _tril_strict():
+    # strictly-lower-triangular ones (CHUNK x CHUNK): exclusive prefix operator
+    r = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
+    return (c < r).astype(jnp.float32)
+
+
+def _triu_inclusive():
+    # upper-triangular ones incl. diagonal: inclusive suffix-sum operator
+    r = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
+    return (c >= r).astype(jnp.float32)
+
+
+def _chunk_alpha(blk, px, py):
+    """blk (CHUNK, C_PACK) -> (alpha (CHUNK, P), rgb (CHUNK,3), depth (CHUNK,1))."""
+    mx = blk[:, 0:1]
+    my = blk[:, 1:2]
+    ca = blk[:, 2:3]
+    cb = blk[:, 3:4]
+    cc = blk[:, 4:5]
+    op = blk[:, 8:9]
+    dx = px - mx  # (CHUNK, P)
+    dy = py - my
+    sigma = 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
+    alpha_raw = op * jnp.exp(-jnp.maximum(sigma, 0.0))
+    alpha = jnp.minimum(alpha_raw, MAX_ALPHA)
+    live = (sigma >= 0.0) & (alpha_raw >= ALPHA_THRESHOLD)
+    alpha = jnp.where(live, alpha, 0.0)
+    return alpha, live
+
+
+def _forward_kernel(packed_ref, out_ref, *, k: int, tx: int, tile_size: int):
+    tile_id = pl.program_id(0)
+    px, py = _pixel_coords(tile_id, tx, tile_size)
+    n_chunks = k // CHUNK
+
+    def body(carry):
+        c, accum, depth_acc, trans = carry
+        blk = packed_ref[0, pl.ds(c * CHUNK, CHUNK), :]
+        alpha, _ = _chunk_alpha(blk, px, py)
+        one_minus = 1.0 - alpha  # in [1 - MAX_ALPHA, 1] -> log is finite
+        log_om = jnp.log(one_minus)
+        # exclusive prefix product via a strictly-triangular matmul in log space
+        t_within = jnp.exp(
+            jnp.dot(_tril_strict(), log_om, preferred_element_type=jnp.float32)
+        )
+        w = alpha * t_within * trans  # (CHUNK, P)
+        rgb = blk[:, 5:8]  # (CHUNK, 3)
+        accum = accum + jnp.dot(rgb.T, w, preferred_element_type=jnp.float32)
+        depth_acc = depth_acc + jnp.sum(w * blk[:, 9:10], axis=0, keepdims=True)
+        trans = trans * jnp.exp(jnp.sum(log_om, axis=0, keepdims=True))
+        return c + 1, accum, depth_acc, trans
+
+    def cond(carry):
+        c, _, _, trans = carry
+        return (c < n_chunks) & (jnp.max(trans) > 1e-4)
+
+    init = (
+        jnp.int32(0),
+        jnp.zeros((3, P), jnp.float32),
+        jnp.zeros((1, P), jnp.float32),
+        jnp.ones((1, P), jnp.float32),
+    )
+    _, accum, depth_acc, trans = jax.lax.while_loop(cond, body, init)
+    out_ref[0, 0:3, :] = accum
+    out_ref[0, 3:4, :] = 1.0 - trans
+    out_ref[0, 4:5, :] = depth_acc
+    out_ref[0, 5:8, :] = jnp.zeros((3, P), jnp.float32)
+
+
+def _backward_kernel(packed_ref, gout_ref, dpacked_ref, tstart_ref,
+                     *, k: int, tx: int, tile_size: int):
+    tile_id = pl.program_id(0)
+    px, py = _pixel_coords(tile_id, tx, tile_size)
+    n_chunks = k // CHUNK
+
+    dC = gout_ref[0, 0:3, :]  # (3, P)
+    dA = gout_ref[0, 3:4, :]  # (1, P)
+    dD = gout_ref[0, 4:5, :]
+
+    # Pass 1: forward transmittance sweep, checkpoint T at each chunk start.
+    def fwd_body(c, trans):
+        tstart_ref[c, :] = trans[0]
+        blk = packed_ref[0, pl.ds(c * CHUNK, CHUNK), :]
+        alpha, _ = _chunk_alpha(blk, px, py)
+        return trans * jnp.exp(jnp.sum(jnp.log(1.0 - alpha), axis=0, keepdims=True))
+
+    t_final = jax.lax.fori_loop(0, n_chunks, fwd_body, jnp.ones((1, P), jnp.float32))
+
+    # Pass 2: reverse sweep with the suffix accumulator S_p = sum_{j>i} w_j e_j.
+    def bwd_body(i, suffix):
+        c = n_chunks - 1 - i
+        blk = packed_ref[0, pl.ds(c * CHUNK, CHUNK), :]
+        alpha, live = _chunk_alpha(blk, px, py)
+        t_start = tstart_ref[c, :][None, :]
+        one_minus = 1.0 - alpha
+        log_om = jnp.log(one_minus)
+        t_within = jnp.exp(
+            jnp.dot(_tril_strict(), log_om, preferred_element_type=jnp.float32)
+        )
+        t_i = t_within * t_start  # (CHUNK, P) transmittance before gaussian i
+        w = alpha * t_i
+
+        rgb = blk[:, 5:8]  # (CHUNK, 3)
+        dep = blk[:, 9:10]
+        # e_i = c_i . dC + depth_i * dD per pixel
+        e = jnp.dot(rgb, dC, preferred_element_type=jnp.float32) + dep * dD  # (CHUNK, P)
+        we = w * e
+        # suffix within the chunk: S_i = sum_{j>i in chunk} w_j e_j + suffix_after
+        # strict suffix sums via an upper-triangular matmul (diag excluded)
+        s_after = jnp.dot(
+            _triu_inclusive() - jnp.eye(CHUNK, dtype=jnp.float32), we,
+            preferred_element_type=jnp.float32,
+        ) + suffix
+
+        # d alpha_i = T_i e_i - S_i/(1-alpha_i) + dA * T_final/(1-alpha_i)
+        inv_om = 1.0 / jnp.maximum(one_minus, 1e-3)
+        dalpha = t_i * e - s_after * inv_om + dA * t_final * inv_om
+        # chain through alpha = clamp(op*exp(-sigma)): zero where clamped/dead
+        mx = blk[:, 0:1]
+        my = blk[:, 1:2]
+        ca = blk[:, 2:3]
+        cb = blk[:, 3:4]
+        cc = blk[:, 4:5]
+        op = blk[:, 8:9]
+        dx = px - mx
+        dy = py - my
+        sigma = 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
+        ealpha = op * jnp.exp(-jnp.maximum(sigma, 0.0))
+        active = live & (ealpha < MAX_ALPHA)
+        dalpha = jnp.where(active, dalpha, 0.0)
+        dsigma = -alpha * dalpha  # (CHUNK, P)
+        dop = jnp.sum(jnp.where(active, jnp.exp(-sigma) * dalpha, 0.0), axis=1)
+
+        # gradients wrt conic and mean (sum over pixels)
+        d_ca = jnp.sum(0.5 * dx * dx * dsigma, axis=1)
+        d_cb = jnp.sum(dx * dy * dsigma, axis=1)
+        d_cc = jnp.sum(0.5 * dy * dy * dsigma, axis=1)
+        gx = ca * dx + cb * dy
+        gy = cc * dy + cb * dx
+        d_mx = jnp.sum(-gx * dsigma, axis=1) * -1.0  # d/dmx = -d/ddx
+        d_my = jnp.sum(-gy * dsigma, axis=1) * -1.0
+        # note: dsigma/ddx = gx, and ddx/dmx = -1 -> d_mx = -sum(gx*dsigma)
+        d_mx = -jnp.sum(gx * dsigma, axis=1)
+        d_my = -jnp.sum(gy * dsigma, axis=1)
+
+        d_rgb = jnp.dot(w, dC.T, preferred_element_type=jnp.float32)  # (CHUNK, 3)
+        d_dep = jnp.sum(w * dD, axis=1)
+
+        grad_blk = jnp.concatenate(
+            [
+                d_mx[:, None], d_my[:, None], d_ca[:, None], d_cb[:, None],
+                d_cc[:, None], d_rgb, dop[:, None], d_dep[:, None],
+                jnp.zeros((CHUNK, C_PACK - 10), jnp.float32),
+            ],
+            axis=1,
+        )
+        dpacked_ref[0, pl.ds(c * CHUNK, CHUNK), :] = grad_blk
+
+        return suffix + jnp.sum(we, axis=0, keepdims=True)
+
+    jax.lax.fori_loop(0, n_chunks, bwd_body, jnp.zeros((1, P), jnp.float32))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def composite_tiles(packed: jnp.ndarray, tx: int, ty: int, tile_size: int):
+    """packed (T, K, 16) -> (T, 8, 256): rows 0-2 rgb, 3 alpha, 4 depth."""
+    return _composite_fwd_impl(packed, tx, ty, tile_size)
+
+
+def _composite_fwd_impl(packed, tx, ty, tile_size):
+    t_total, k, _ = packed.shape
+    kernel = functools.partial(_forward_kernel, k=k, tx=tx, tile_size=tile_size)
+    return pl.pallas_call(
+        kernel,
+        grid=(t_total,),
+        in_specs=[
+            pl.BlockSpec((1, k, C_PACK), lambda i: (i, 0, 0),
+                         memory_space=pltpu.ANY if False else pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 8, P), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((t_total, 8, P), jnp.float32),
+    )(packed)
+
+
+def _composite_fwd(packed, tx, ty, tile_size):
+    out = _composite_fwd_impl(packed, tx, ty, tile_size)
+    return out, packed
+
+
+def _composite_bwd(tx, ty, tile_size, packed, gout):
+    t_total, k, _ = packed.shape
+    kernel = functools.partial(_backward_kernel, k=k, tx=tx, tile_size=tile_size)
+    dpacked = pl.pallas_call(
+        kernel,
+        grid=(t_total,),
+        in_specs=[
+            pl.BlockSpec((1, k, C_PACK), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, P), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, k, C_PACK), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((t_total, k, C_PACK), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((k // CHUNK, P), jnp.float32)],
+    )(packed, gout)
+    return (dpacked,)
+
+
+composite_tiles.defvjp(_composite_fwd, _composite_bwd)
+
+
+def composite_tiles_reference(packed: jnp.ndarray, tx: int, ty: int,
+                              tile_size: int) -> jnp.ndarray:
+    """Pure-XLA reference with identical semantics (used on CPU and in tests)."""
+    t_total, k, _ = packed.shape
+    tile_ids = jnp.arange(t_total, dtype=jnp.int32)
+    lin = jnp.arange(P, dtype=jnp.int32)
+    px = ((tile_ids[:, None] % tx) * tile_size + lin[None, :] % tile_size) + 0.5
+    py = ((tile_ids[:, None] // tx) * tile_size + lin[None, :] // tile_size) + 0.5
+    px = px.astype(jnp.float32)
+    py = py.astype(jnp.float32)
+
+    def body(carry, blk):
+        accum, depth_acc, trans = carry
+        # blk: (T, CHUNK, 16)
+        mx = blk[:, :, 0:1]
+        my = blk[:, :, 1:2]
+        ca = blk[:, :, 2:3]
+        cb = blk[:, :, 3:4]
+        cc = blk[:, :, 4:5]
+        op = blk[:, :, 8:9]
+        dx = px[:, None, :] - mx
+        dy = py[:, None, :] - my
+        sigma = 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
+        alpha_raw = op * jnp.exp(-jnp.maximum(sigma, 0.0))
+        alpha = jnp.minimum(alpha_raw, MAX_ALPHA)
+        live = (sigma >= 0.0) & (alpha_raw >= ALPHA_THRESHOLD)
+        alpha = jnp.where(live, alpha, 0.0)
+        one_minus = 1.0 - alpha
+        cum = jnp.cumprod(one_minus, axis=1)
+        t_within = jnp.concatenate([jnp.ones_like(cum[:, :1]), cum[:, :-1]], axis=1)
+        w = alpha * t_within * trans[:, None, :]
+        accum = accum + jnp.einsum("tkp,tkc->tcp", w, blk[:, :, 5:8])
+        depth_acc = depth_acc + jnp.sum(w * blk[:, :, 9:10], axis=1)
+        trans = trans * cum[:, -1, :]
+        return (accum, depth_acc, trans), None
+
+    n_chunks = k // CHUNK
+    blocks = jnp.swapaxes(
+        packed.reshape(t_total, n_chunks, CHUNK, C_PACK), 0, 1
+    )
+    init = (
+        jnp.zeros((t_total, 3, P), jnp.float32),
+        jnp.zeros((t_total, P), jnp.float32),
+        jnp.ones((t_total, P), jnp.float32),
+    )
+    (accum, depth_acc, trans), _ = jax.lax.scan(jax.checkpoint(body), init, blocks)
+    out = jnp.zeros((t_total, 8, P), jnp.float32)
+    out = out.at[:, 0:3, :].set(accum)
+    out = out.at[:, 3, :].set(1.0 - trans)
+    out = out.at[:, 4, :].set(depth_acc)
+    return out

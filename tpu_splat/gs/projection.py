@@ -64,10 +64,15 @@ def project_gaussians(
     far: float = 1e10,
     antialiased: bool = False,
 ) -> Projected:
-    """Project N gaussians through one camera (OpenCV convention, w2c viewmat 4x4)."""
+    """Project N gaussians through one camera (OpenCV convention, w2c viewmat 4x4).
+
+    Written structure-of-arrays: all per-gaussian quantities are (N,) vectors and
+    the tiny 3x3 algebra is unrolled into scalar expressions. On TPU, (N, 3, 3)
+    tensors pad the trailing dims to the 8x128 register tile (a ~40x memory blow-
+    up); the scalarized form keeps everything in dense (N,) lanes."""
     R = viewmat[:3, :3]
     t = viewmat[:3, 3]
-    p_cam = means @ R.T + t  # (N, 3)
+    p_cam = means @ R.T + t  # (N, 3): one real matmul, fine on the MXU
     x, y, z = p_cam[:, 0], p_cam[:, 1], p_cam[:, 2]
     zs = jnp.maximum(z, 1e-6)
 
@@ -78,39 +83,70 @@ def project_gaussians(
     tx = jnp.clip(x / zs, -lim_x, lim_x) * zs
     ty = jnp.clip(y / zs, -lim_y, lim_y) * zs
 
-    cov3d = covariance_3d(log_scales, quats)  # (N, 3, 3)
-    cov_cam = jnp.einsum("ij,njk,lk->nil", R, cov3d, R)
+    # --- covariance as 6 scalar channels -----------------------------------
+    # unit quaternion entries
+    qn = quats / jnp.maximum(jnp.linalg.norm(quats, axis=-1, keepdims=True), 1e-12)
+    qw, qx, qy, qz = qn[:, 0], qn[:, 1], qn[:, 2], qn[:, 3]
+    # rotation matrix entries (N,)
+    r = [
+        1 - 2 * (qy * qy + qz * qz), 2 * (qx * qy - qw * qz), 2 * (qx * qz + qw * qy),
+        2 * (qx * qy + qw * qz), 1 - 2 * (qx * qx + qz * qz), 2 * (qy * qz - qw * qx),
+        2 * (qx * qz - qw * qy), 2 * (qy * qz + qw * qx), 1 - 2 * (qx * qx + qy * qy),
+    ]
+    s2 = jnp.exp(2.0 * log_scales)  # (N, 3) squared scales
+    s0, s1, s2_ = s2[:, 0], s2[:, 1], s2[:, 2]
+
+    def sig(i, j):
+        # Sigma_ij = sum_k s_k^2 R_ik R_jk
+        return (
+            s0 * r[3 * i + 0] * r[3 * j + 0]
+            + s1 * r[3 * i + 1] * r[3 * j + 1]
+            + s2_ * r[3 * i + 2] * r[3 * j + 2]
+        )
+
+    S = [[sig(0, 0), sig(0, 1), sig(0, 2)],
+         [None, sig(1, 1), sig(1, 2)],
+         [None, None, sig(2, 2)]]
+    S[1][0], S[2][0], S[2][1] = S[0][1], S[0][2], S[1][2]
+
+    # camera-frame covariance C = W Sigma W^T with constant W = viewmat rotation
+    def cam_cov(i, j):
+        acc = 0.0
+        for a in range(3):
+            Wia = R[i, a]
+            row = S[a]
+            for b in range(3):
+                acc = acc + Wia * row[b] * R[j, b]
+        return acc
+
+    C00, C01, C02 = cam_cov(0, 0), cam_cov(0, 1), cam_cov(0, 2)
+    C11, C12, C22 = cam_cov(1, 1), cam_cov(1, 2), cam_cov(2, 2)
 
     inv_z = 1.0 / zs
     inv_z2 = inv_z * inv_z
-    # J: (N, 2, 3) Jacobian of (fx X/Z + cx, fy Y/Z + cy).
-    zeros = jnp.zeros_like(zs)
-    J = jnp.stack(
-        [
-            jnp.stack([fx * inv_z, zeros, -fx * tx * inv_z2], axis=-1),
-            jnp.stack([zeros, fy * inv_z, -fy * ty * inv_z2], axis=-1),
-        ],
-        axis=-2,
-    )
-    cov2d = jnp.einsum("nij,njk,nlk->nil", J, cov_cam, J)  # (N, 2, 2)
+    f1 = fx * inv_z
+    f2 = fy * inv_z
+    j13 = -fx * tx * inv_z2
+    j23 = -fy * ty * inv_z2
+    # cov2d = J C J^T for J = [[f1, 0, j13], [0, f2, j23]]
+    a = f1 * f1 * C00 + 2 * f1 * j13 * C02 + j13 * j13 * C22
+    c = f2 * f2 * C11 + 2 * f2 * j23 * C12 + j23 * j23 * C22
+    b = f1 * f2 * C01 + f1 * j23 * C02 + f2 * j13 * C12 + j13 * j23 * C22
 
-    det_raw = cov2d[:, 0, 0] * cov2d[:, 1, 1] - cov2d[:, 0, 1] * cov2d[:, 1, 0]
-    cov2d = cov2d.at[:, 0, 0].add(EPS2D).at[:, 1, 1].add(EPS2D)
-    det = cov2d[:, 0, 0] * cov2d[:, 1, 1] - cov2d[:, 0, 1] * cov2d[:, 1, 0]
-    det = jnp.maximum(det, 1e-12)
+    det_raw = a * c - b * b
+    a = a + EPS2D
+    c = c + EPS2D
+    det = jnp.maximum(a * c - b * b, 1e-12)
     # Mip-splatting opacity compensation: sqrt(det_raw / det_blurred).
     comp = jnp.sqrt(jnp.maximum(det_raw, 0.0) / det)
 
     inv_det = 1.0 / det
-    conic = jnp.stack(
-        [cov2d[:, 1, 1] * inv_det, -cov2d[:, 0, 1] * inv_det, cov2d[:, 0, 0] * inv_det],
-        axis=-1,
-    )
+    conic = jnp.stack([c * inv_det, -b * inv_det, a * inv_det], axis=-1)
 
     means2d = jnp.stack([fx * x * inv_z + cx, fy * y * inv_z + cy], axis=-1)
 
     # Screen radius: 3 sigma of the major axis.
-    mid = 0.5 * (cov2d[:, 0, 0] + cov2d[:, 1, 1])
+    mid = 0.5 * (a + c)
     lambda1 = mid + jnp.sqrt(jnp.maximum(mid * mid - det, 0.0))
     radius = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lambda1, 0.0)))
 

@@ -57,44 +57,79 @@ def tile_gaussians(
 ):
     """Bin gaussians into per-tile depth-ordered index lists.
 
-    Returns (gidx, gvalid, order):
-      gidx:   (T, K) int32 indices into the depth-sorted gaussian arrays.
-      gvalid: (T, K) bool.
-      order:  (N,) permutation sorting gaussians front-to-back.
+    Returns (gidx, gvalid, slots_small, slots_big, big_order):
+      gidx:       (T, K) int32 ORIGINAL gaussian indices, depth-ordered per tile.
+      gvalid:     (T, K) bool.
+      slots_*:    inverse maps pair -> flat packed slot (T*K sentinel when
+                  dropped), used for the gather-based gradient of packing.
+      big_order:  (K_big,) original indices of the large-coverage tier.
+
+    Everything stays in ORIGINAL gaussian index space — no permutation of the
+    differentiable feature arrays ever happens, so no gradient ever needs a
+    scatter. Two-tier pair generation keeps the sort small: almost all gaussians
+    span at most 2x2 tiles (4 candidate pairs); only a capped set of large ones
+    get the full MAX_COVER grid. Keys pack (tile_id << 20 | depth_rank) into one
+    uint32 so a single u32 sort yields per-tile depth order directly.
     """
     n = means2d.shape[0]
+    assert n <= (1 << 20), "tile binning packs depth rank into 20 bits"
     tx = _ceil_div(width, tile_size)
     ty = _ceil_div(height, tile_size)
     t_total = tx * ty
+    assert t_total < (1 << 12), "tile binning packs tile id into 12 bits"
 
     valid = radii > 0
-    order = jnp.argsort(jnp.where(valid, depths, jnp.inf))
-    m2d = means2d[order]
-    rad = radii[order]
-    val = valid[order]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    depth_key = jnp.where(valid, depths, jnp.inf)
+    _, order = jax.lax.sort_key_val(depth_key, iota)  # rank -> original id
+    _, rank_of = jax.lax.sort_key_val(order, iota)  # original id -> depth rank
+    rank_u = rank_of.astype(jnp.uint32)
 
-    # Tile-space bbox (inclusive) per depth-sorted gaussian.
-    x0 = jnp.clip(jnp.floor((m2d[:, 0] - rad) / tile_size), 0, tx - 1).astype(jnp.int32)
-    x1 = jnp.clip(jnp.floor((m2d[:, 0] + rad) / tile_size), 0, tx - 1).astype(jnp.int32)
-    y0 = jnp.clip(jnp.floor((m2d[:, 1] - rad) / tile_size), 0, ty - 1).astype(jnp.int32)
-    y1 = jnp.clip(jnp.floor((m2d[:, 1] + rad) / tile_size), 0, ty - 1).astype(jnp.int32)
+    # Tile-space bbox (inclusive), original index space.
+    x0 = jnp.clip(jnp.floor((means2d[:, 0] - radii) / tile_size), 0, tx - 1).astype(jnp.int32)
+    x1 = jnp.clip(jnp.floor((means2d[:, 0] + radii) / tile_size), 0, tx - 1).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor((means2d[:, 1] - radii) / tile_size), 0, ty - 1).astype(jnp.int32)
+    y1 = jnp.clip(jnp.floor((means2d[:, 1] + radii) / tile_size), 0, ty - 1).astype(jnp.int32)
+    big = valid & ((x1 - x0 > 1) | (y1 - y0 > 1))
+    small = valid & ~big
 
-    m = MAX_COVER_X * MAX_COVER_Y
-    dx = jnp.arange(m, dtype=jnp.int32) % MAX_COVER_X  # (M,)
-    dy = jnp.arange(m, dtype=jnp.int32) // MAX_COVER_X
-    px = x0[:, None] + dx[None, :]  # (N, M)
-    py = y0[:, None] + dy[None, :]
-    pair_ok = val[:, None] & (px <= x1[:, None]) & (py <= y1[:, None])
-    pair_tile = jnp.where(pair_ok, py * tx + px, t_total).astype(jnp.int32)
+    sentinel = jnp.uint32(t_total) << 20
 
-    # Stable sort by tile id; pairs are generated in depth order (outer axis), so
-    # within each tile the depth order is preserved.
-    ranks = jnp.broadcast_to(
-        jnp.arange(n, dtype=jnp.int32)[:, None], (n, m)
-    ).reshape(-1)
-    sorted_tile, sorted_rank = jax.lax.sort_key_val(
-        pair_tile.reshape(-1), ranks, is_stable=True
+    # Tier 1: 2x2 candidate grid for every gaussian.
+    dx1 = jnp.arange(4, dtype=jnp.int32) % 2
+    dy1 = jnp.arange(4, dtype=jnp.int32) // 2
+    px1 = x0[:, None] + dx1[None, :]
+    py1 = y0[:, None] + dy1[None, :]
+    ok1 = small[:, None] & (px1 <= x1[:, None]) & (py1 <= y1[:, None])
+    tile1 = (py1 * tx + px1).astype(jnp.uint32)
+    keys1 = jnp.where(ok1, (tile1 << 20) | rank_u[:, None],
+                      sentinel | rank_u[:, None]).reshape(-1)
+
+    # Tier 2: full coverage grid for a capped set of large gaussians.
+    k_big = max(n // 64, 512)
+    big_order = jnp.argsort(~big)[:k_big]  # original ids, big first
+    is_big_slot = big[big_order]
+    m2 = MAX_COVER_X * MAX_COVER_Y
+    dx2 = jnp.arange(m2, dtype=jnp.int32) % MAX_COVER_X
+    dy2 = jnp.arange(m2, dtype=jnp.int32) // MAX_COVER_X
+    px2 = x0[big_order][:, None] + dx2[None, :]
+    py2 = y0[big_order][:, None] + dy2[None, :]
+    ok2 = (
+        is_big_slot[:, None]
+        & (px2 <= x1[big_order][:, None])
+        & (py2 <= y1[big_order][:, None])
     )
+    rank_big = rank_u[big_order]
+    tile2 = (py2 * tx + px2).astype(jnp.uint32)
+    keys2 = jnp.where(ok2, (tile2 << 20) | rank_big[:, None],
+                      sentinel | rank_big[:, None]).reshape(-1)
+
+    keys = jnp.concatenate([keys1, keys2])
+    np_total = keys.shape[0]
+    pair_ids = jnp.arange(np_total, dtype=jnp.int32)
+    sorted_keys, sorted_pid = jax.lax.sort_key_val(keys, pair_ids)
+    sorted_tile = (sorted_keys >> 20).astype(jnp.int32)
+    sorted_rank = (sorted_keys & jnp.uint32((1 << 20) - 1)).astype(jnp.int32)
 
     starts = jnp.searchsorted(sorted_tile, jnp.arange(t_total + 1, dtype=jnp.int32))
     tile_start = starts[:-1]  # (T,)
@@ -103,14 +138,65 @@ def tile_gaussians(
     k = jnp.arange(max_per_tile, dtype=jnp.int32)
     pos = tile_start[:, None] + k[None, :]  # (T, K)
     gvalid = pos < tile_end[:, None]
-    pos = jnp.minimum(pos, n * m - 1)
-    gidx = sorted_rank[pos]  # (T, K) indices into depth-sorted arrays
-    return gidx, gvalid, order
+    pos = jnp.minimum(pos, np_total - 1)
+    gidx = order[sorted_rank[pos]]  # (T, K) ORIGINAL gaussian indices
+
+    # Inverse mapping pair -> packed slot, for the gather-based gradient (the
+    # scatter-add transpose of the packing gather is ~10x slower on TPU than
+    # one extra sort + gathers).
+    _, pos_of_pair = jax.lax.sort_key_val(sorted_pid, pair_ids)
+    pair_tile = (keys >> 20).astype(jnp.int32)
+    in_range = pair_tile < t_total
+    safe_tile = jnp.minimum(pair_tile, t_total - 1)
+    k_in_tile = pos_of_pair - tile_start[safe_tile]
+    slot = jnp.where(
+        in_range & (k_in_tile < max_per_tile),
+        safe_tile * max_per_tile + k_in_tile,
+        t_total * max_per_tile,
+    )
+    slots_small = slot[: n * 4].reshape(n, 4)
+    slots_big = slot[n * 4 :].reshape(-1, m2)
+    return gidx, gvalid, slots_small, slots_big, big_order
+
+
+def _use_pallas() -> bool:
+    """Pallas kernels on real accelerators; the XLA reference path on CPU."""
+    return jax.default_backend() not in ("cpu",)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _pack_gather(feat, gidx_ext, slots_small, slots_big, big_order, tk: int):
+    """Gather (N+1 sentinel, 16) rows into (T, K, 16) tile blocks.
+
+    The custom VJP turns the gradient scatter-add (slow on TPU) into gathers via
+    the precomputed inverse slot maps from tile_gaussians."""
+    feat_ext = jnp.concatenate([feat, jnp.zeros_like(feat[:1])], axis=0)
+    return feat_ext[gidx_ext]
+
+
+def _pack_gather_fwd(feat, gidx_ext, slots_small, slots_big, big_order, tk):
+    out = _pack_gather(feat, gidx_ext, slots_small, slots_big, big_order, tk)
+    return out, (slots_small, slots_big, big_order, feat.shape[0])
+
+
+def _pack_gather_bwd(tk, res, d_packed):
+    slots_small, slots_big, big_order, n = res
+    c = d_packed.shape[-1]
+    d_flat = jnp.concatenate(
+        [d_packed.reshape(tk, c), jnp.zeros((1, c), d_packed.dtype)], axis=0
+    )
+    d_feat = jnp.sum(d_flat[slots_small], axis=1)  # (N, C)
+    d_big = jnp.sum(d_flat[slots_big], axis=1)  # (K_big, C)
+    d_feat = d_feat.at[big_order].add(d_big)
+    return d_feat, None, None, None, None
+
+
+_pack_gather.defvjp(_pack_gather_fwd, _pack_gather_bwd)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("width", "height", "tile_size", "max_per_tile", "chunk"),
+    static_argnames=("width", "height", "tile_size", "max_per_tile", "backend"),
 )
 def rasterize(
     means2d: jnp.ndarray,
@@ -124,92 +210,54 @@ def rasterize(
     background: Optional[jnp.ndarray] = None,
     tile_size: int = 16,
     max_per_tile: int = 1024,
-    chunk: int = 64,
+    backend: str = "auto",
 ) -> RasterOutput:
     """Alpha-composite projected gaussians into an image.
 
     means2d (N,2), conics (N,3), colors (N,3), opacities (N,) post-sigmoid,
-    depths (N,), radii (N,) with 0 = culled.
+    depths (N,), radii (N,) with 0 = culled. Compositing runs in a Pallas TPU
+    kernel (pallas_raster.py) or the equivalent XLA reference on CPU.
     """
-    n = means2d.shape[0]
+    from tpu_splat.gs import pallas_raster as pr
+
+    assert tile_size == 16, "kernels assume 16x16 tiles"
+    assert max_per_tile % pr.CHUNK == 0
     tx = _ceil_div(width, tile_size)
     ty = _ceil_div(height, tile_size)
     t_total = tx * ty
-    p = tile_size * tile_size
 
-    gidx, gvalid, order = tile_gaussians(
+    gidx, gvalid, slots_small, slots_big, big_order = tile_gaussians(
         means2d, depths, radii, width, height, tile_size, max_per_tile
     )
 
-    # Depth-sorted per-gaussian attributes.
-    m2d = means2d[order]
-    con = conics[order]
-    col = colors[order]
-    opa = opacities[order]
-    dep = depths[order]
+    # Pack per-tile gaussian blocks: one gather in the kernel channel layout,
+    # with a zero sentinel row so invalid slots read opacity 0 (no scatter).
+    feat = jnp.concatenate(
+        [means2d, conics, colors, opacities[:, None], depths[:, None],
+         jnp.zeros((means2d.shape[0], pr.C_PACK - 10), means2d.dtype)],
+        axis=-1,
+    )  # (N, 16)
+    gidx_ext = jnp.where(gvalid, gidx, feat.shape[0])
+    packed = _pack_gather(feat, gidx_ext, slots_small, slots_big, big_order,
+                          t_total * max_per_tile)
 
-    # Pixel centers per tile: (T, P, 2).
-    tile_ids = jnp.arange(t_total, dtype=jnp.int32)
-    tile_x0 = (tile_ids % tx) * tile_size
-    tile_y0 = (tile_ids // tx) * tile_size
-    local = jnp.arange(p, dtype=jnp.int32)
-    pix_x = tile_x0[:, None] + (local % tile_size)[None, :] + 0.5
-    pix_y = tile_y0[:, None] + (local // tile_size)[None, :] + 0.5
+    use_pallas = backend == "pallas" or (backend == "auto" and _use_pallas())
+    if use_pallas:
+        out8 = pr.composite_tiles(packed, tx, ty, tile_size)
+    else:
+        out8 = pr.composite_tiles_reference(packed, tx, ty, tile_size)
 
-    num_chunks = _ceil_div(max_per_tile, chunk)
-    pad = num_chunks * chunk - max_per_tile
-    gidx_c = jnp.pad(gidx, ((0, 0), (0, pad))).reshape(t_total, num_chunks, chunk)
-    gval_c = jnp.pad(gvalid, ((0, 0), (0, pad))).reshape(t_total, num_chunks, chunk)
-    gidx_c = jnp.swapaxes(gidx_c, 0, 1)  # (C, T, chunk)
-    gval_c = jnp.swapaxes(gval_c, 0, 1)
-
-    def body(carry, xs):
-        accum, accum_d, trans = carry
-        idx, ok = xs  # (T, chunk)
-        gm = m2d[idx]  # (T, chunk, 2)
-        gc = con[idx]  # (T, chunk, 3)
-        gcol = col[idx]  # (T, chunk, 3)
-        go = opa[idx]  # (T, chunk)
-        gd = dep[idx]
-
-        dxp = pix_x[:, None, :] - gm[..., 0:1]  # (T, chunk, P)
-        dyp = pix_y[:, None, :] - gm[..., 1:2]
-        sigma = (
-            0.5 * (gc[..., 0:1] * dxp * dxp + gc[..., 2:3] * dyp * dyp)
-            + gc[..., 1:2] * dxp * dyp
-        )
-        alpha = go[..., None] * jnp.exp(-jnp.maximum(sigma, 0.0))
-        alpha = jnp.minimum(alpha, MAX_ALPHA)
-        alpha = jnp.where(
-            ok[..., None] & (sigma >= 0.0) & (alpha >= ALPHA_THRESHOLD), alpha, 0.0
-        )
-
-        # Sequential compositing within the chunk via cumulative products.
-        one_minus = 1.0 - alpha  # (T, chunk, P)
-        # T_i within chunk = prod_{j<i} (1 - alpha_j), exclusive.
-        cum = jnp.cumprod(one_minus, axis=1)
-        t_within = jnp.concatenate(
-            [jnp.ones_like(cum[:, :1, :]), cum[:, :-1, :]], axis=1
-        )
-        w = alpha * t_within * trans[:, None, :]  # (T, chunk, P)
-        accum = accum + jnp.einsum("tkp,tkc->tpc", w, gcol)
-        accum_d = accum_d + jnp.sum(w * gd[..., None], axis=1)
-        trans = trans * cum[:, -1, :]
-        return (accum, accum_d, trans), None
-
-    init = (
-        jnp.zeros((t_total, p, 3), jnp.float32),
-        jnp.zeros((t_total, p), jnp.float32),
-        jnp.ones((t_total, p), jnp.float32),
-    )
-    (accum, accum_d, trans), _ = jax.lax.scan(
-        jax.checkpoint(body), init, (gidx_c, gval_c)
-    )
+    accum = jnp.transpose(out8[:, 0:3, :], (0, 2, 1))  # (T, P, 3)
+    alpha_t = out8[:, 3, :]
+    depth_t = out8[:, 4, :]
+    trans = 1.0 - alpha_t
 
     if background is not None:
         accum = accum + trans[..., None] * background
 
     # Untile: (T, P, C) -> (H, W, C).
+    p = tile_size * tile_size
+
     def untile(arr, c):
         img = arr.reshape(ty, tx, tile_size, tile_size, c)
         img = jnp.transpose(img, (0, 2, 1, 3, 4)).reshape(
@@ -218,6 +266,6 @@ def rasterize(
         return img[:height, :width]
 
     color = untile(accum, 3)
-    alpha = untile(1.0 - trans[..., None], 1)[..., 0]
-    depth = untile(accum_d[..., None], 1)[..., 0]
+    alpha = untile(alpha_t[..., None], 1)[..., 0]
+    depth = untile(depth_t[..., None], 1)[..., 0]
     return RasterOutput(color=color, alpha=alpha, depth=depth)

@@ -1,0 +1,105 @@
+"""Blur filtering: variance-of-Laplacian sharpness scoring + two-phase frame
+selection.
+
+TPU-native port of filter_blurry_images.py: the per-frame Laplacian-variance
+scores (compute_laplacian_variance_basic, :339) are one batched convolution over
+the frame stack instead of a thread pool, and the two-phase selection
+(select_frames, :525 — best-per-small-period, then fill per-large-period while
+invalidating +-spacing/2 neighbors) and equidistant reduction
+(reduce_images_to_target, :81) are ported as index logic.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.partial(jax.jit, static_argnames=("batch",))
+def _laplacian_variance_batch(gray: jnp.ndarray, batch: int = 0) -> jnp.ndarray:
+    """(N, H, W) grayscale [0,1] -> (N,) variance of the 3x3 Laplacian."""
+    k = jnp.array([[0.0, 1.0, 0.0], [1.0, -4.0, 1.0], [0.0, 1.0, 0.0]])
+    x = gray[:, None]  # NCHW
+    lap = jax.lax.conv_general_dilated(x, k[None, None], (1, 1), "VALID")[:, 0]
+    mean = jnp.mean(lap, axis=(1, 2), keepdims=True)
+    return jnp.mean((lap - mean) ** 2, axis=(1, 2))
+
+
+def laplacian_variance(images: np.ndarray, chunk: int = 32) -> np.ndarray:
+    """Sharpness score per image; images (N, H, W[, 3]) float32 in [0,1]."""
+    if images.ndim == 4:
+        gray = images @ np.array([0.299, 0.587, 0.114], np.float32)
+    else:
+        gray = images
+    out = []
+    for i in range(0, len(gray), chunk):
+        out.append(np.asarray(_laplacian_variance_batch(jnp.asarray(gray[i : i + chunk]))))
+    return np.concatenate(out)
+
+
+def select_sharp_frames(
+    scores: np.ndarray,
+    target_count: int,
+    small_period: Optional[int] = None,
+    large_period: Optional[int] = None,
+) -> np.ndarray:
+    """Two-phase selection of sharp frames, preserving temporal coverage.
+
+    Phase 1: keep the sharpest frame in each small period (local best).
+    Phase 2: fill remaining budget with the globally sharpest unselected frames,
+    invalidating +-spacing/2 neighbors of each pick so selections stay spread out.
+    Returns sorted indices of the selected frames.
+    """
+    n = len(scores)
+    if target_count >= n:
+        return np.arange(n)
+    small = small_period or max(n // target_count, 1)
+    selected: List[int] = []
+    for start in range(0, n, small):
+        seg = scores[start : start + small]
+        selected.append(start + int(np.argmax(seg)))
+    if len(selected) > target_count:
+        return reduce_equidistant(np.array(sorted(selected)), target_count)
+
+    # phase 2: fill with spread-out sharp frames
+    spacing = large_period or small
+    blocked = np.zeros(n, bool)
+    for s in selected:
+        lo, hi = max(0, s - spacing // 2), min(n, s + spacing // 2 + 1)
+        blocked[lo:hi] = True
+    order = np.argsort(-scores)
+    for idx in order:
+        if len(selected) >= target_count:
+            break
+        if blocked[idx]:
+            continue
+        selected.append(int(idx))
+        lo, hi = max(0, idx - spacing // 2), min(n, idx + spacing // 2 + 1)
+        blocked[lo:hi] = True
+    return np.array(sorted(set(selected)))
+
+
+def reduce_equidistant(indices: np.ndarray, target: int) -> np.ndarray:
+    """Reduce a sorted index list to `target` entries, evenly spaced."""
+    if len(indices) <= target:
+        return indices
+    pick = np.linspace(0, len(indices) - 1, target).round().astype(int)
+    return indices[np.unique(pick)]
+
+
+def filter_blurry_images(
+    images: np.ndarray,
+    target_count: Optional[int] = None,
+    min_keep_fraction: float = 0.5,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Score + select sharp frames. Returns (selected_images, selected_indices)."""
+    scores = laplacian_variance(images)
+    n = len(images)
+    target = target_count if target_count is not None else max(int(n * min_keep_fraction), 3)
+    target = min(target, n)
+    idx = select_sharp_frames(scores, target)
+    return images[idx], idx

@@ -1,0 +1,170 @@
+"""Background removal front end.
+
+Maps the reference's segmentation options (remove_background.py /
+remove_background_sam2.py) to native implementations:
+
+- "u2net" / "u2net_human_seg": flax U2Net when a converted checkpoint is
+  available (TPU_SPLAT_U2NET_WEIGHTS env var or ~/.tpu_splat/u2net.pth);
+  otherwise a classical saliency fallback (spectral-residual saliency + GrabCut
+  refinement + center prior) so the pipeline works without downloads.
+- "sam2": video-mode propagation — per-keyframe saliency masks propagated with
+  dense optical flow and periodically refreshed, echoing the SAM2 video
+  predictor's keyframe+propagation structure (remove_background_sam2.py:47-305)
+  without its 2.3 GB checkpoint.
+
+Mask post-processing (threshold -> largest component -> morphology close/open)
+ports clean_mask (remove_background_sam2.py:268-305).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+def _find_u2net_weights() -> Optional[str]:
+    cand = os.environ.get("TPU_SPLAT_U2NET_WEIGHTS")
+    if cand and os.path.exists(cand):
+        return cand
+    home = os.path.expanduser("~/.tpu_splat/u2net.pth")
+    return home if os.path.exists(home) else None
+
+
+def _saliency_mask(img: np.ndarray) -> np.ndarray:
+    """Weight-free saliency: spectral residual + center prior, [0,1] float."""
+    import cv2
+
+    gray = (np.clip(img, 0, 1).mean(-1) * 255).astype(np.uint8)
+    small = cv2.resize(gray, (128, 128))
+    f = np.fft.fft2(small.astype(np.float32))
+    log_amp = np.log1p(np.abs(f))
+    phase = np.angle(f)
+    kernel = np.ones((3, 3), np.float32) / 9
+    smooth = cv2.filter2D(log_amp, -1, kernel)
+    resid = log_amp - smooth
+    sal = np.abs(np.fft.ifft2(np.exp(resid + 1j * phase))) ** 2
+    sal = cv2.GaussianBlur(sal.astype(np.float32), (9, 9), 2.5)
+    sal = (sal - sal.min()) / max(sal.max() - sal.min(), 1e-9)
+
+    # border-contrast prior: distance from the mean border color (flat-colored
+    # subjects have no spectral-residual response, but still differ from the
+    # background that dominates the image border)
+    rgb_small = cv2.resize(np.clip(img, 0, 1).astype(np.float32), (128, 128))
+    border = np.concatenate([
+        rgb_small[:6].reshape(-1, 3), rgb_small[-6:].reshape(-1, 3),
+        rgb_small[:, :6].reshape(-1, 3), rgb_small[:, -6:].reshape(-1, 3),
+    ])
+    bg_color = np.median(border, axis=0)
+    contrast = np.linalg.norm(rgb_small - bg_color, axis=-1)
+    contrast = (contrast - contrast.min()) / max(contrast.max() - contrast.min(), 1e-9)
+
+    sal = 0.5 * sal + 0.5 * contrast
+    # center prior
+    yy, xx = np.mgrid[0:128, 0:128]
+    center = np.exp(-(((yy - 64) / 64) ** 2 + ((xx - 64) / 64) ** 2))
+    sal = sal * (0.3 + 0.7 * center)
+    sal = (sal - sal.min()) / max(sal.max() - sal.min(), 1e-9)
+    return cv2.resize(sal, (img.shape[1], img.shape[0]))
+
+
+def _grabcut_refine(img: np.ndarray, sal: np.ndarray, threshold: float) -> np.ndarray:
+    import cv2
+
+    h, w = sal.shape
+    small_dim = 480
+    scale = min(small_dim / max(h, w), 1.0)
+    sw, sh = int(w * scale), int(h * scale)
+    img8 = (np.clip(cv2.resize(img, (sw, sh)), 0, 1) * 255).astype(np.uint8)
+    sal_s = cv2.resize(sal, (sw, sh))
+    mask = np.full((sh, sw), cv2.GC_PR_BGD, np.uint8)
+    mask[sal_s > threshold] = cv2.GC_PR_FGD
+    mask[sal_s > min(threshold + 0.25, 0.95)] = cv2.GC_FGD
+    mask[sal_s < 0.08] = cv2.GC_BGD
+    bgd = np.zeros((1, 65), np.float64)
+    fgd = np.zeros((1, 65), np.float64)
+    try:
+        cv2.grabCut(img8, mask, None, bgd, fgd, 3, cv2.GC_INIT_WITH_MASK)
+    except cv2.error:
+        return (sal > threshold).astype(np.float32)
+    out = ((mask == cv2.GC_FGD) | (mask == cv2.GC_PR_FGD)).astype(np.float32)
+    return cv2.resize(out, (w, h), interpolation=cv2.INTER_NEAREST)
+
+
+def clean_mask(mask: np.ndarray, min_area_frac: float = 0.001) -> np.ndarray:
+    """Largest connected component + morphological close/open
+    (remove_background_sam2.py clean_mask port)."""
+    import cv2
+
+    m = (mask > 0.5).astype(np.uint8)
+    n, labels, stats, _ = cv2.connectedComponentsWithStats(m)
+    if n > 1:
+        areas = stats[1:, cv2.CC_STAT_AREA]
+        keep = 1 + int(np.argmax(areas))
+        m = (labels == keep).astype(np.uint8)
+    k = np.ones((7, 7), np.uint8)
+    m = cv2.morphologyEx(m, cv2.MORPH_CLOSE, k)
+    m = cv2.morphologyEx(m, cv2.MORPH_OPEN, np.ones((3, 3), np.uint8))
+    return m.astype(np.float32)
+
+
+def _u2net_masks(images: np.ndarray, weights_path: str) -> np.ndarray:
+    import jax.numpy as jnp
+
+    from tpu_splat.matting.u2net import convert_torch_checkpoint, u2net_apply
+
+    variables = convert_torch_checkpoint(weights_path)
+    out = []
+    for i in range(0, len(images), 4):
+        batch = jnp.asarray(images[i : i + 4])
+        out.append(np.asarray(u2net_apply(variables, batch)))
+    return np.concatenate(out)
+
+
+def remove_background_batch(
+    images: np.ndarray,
+    model: str = "u2net",
+    threshold: float = 0.6,
+    keyframe_every: int = 8,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Returns (masked_images, masks). Masked pixels are zeroed (the pipeline
+    also keeps the mask for loss weighting)."""
+    import cv2
+
+    n = len(images)
+    weights = _find_u2net_weights()
+    masks = np.zeros(images.shape[:3], np.float32)
+
+    if model in ("u2net", "u2net_human_seg") and weights:
+        sal = _u2net_masks(images, weights)
+        for i in range(n):
+            masks[i] = clean_mask(_grabcut_refine(images[i], sal[i], threshold))
+    elif model == "sam2":
+        # keyframe saliency + optical-flow propagation
+        prev_gray = None
+        prev_mask = None
+        for i in range(n):
+            gray = (np.clip(images[i], 0, 1).mean(-1) * 255).astype(np.uint8)
+            if i % keyframe_every == 0 or prev_mask is None:
+                sal = _saliency_mask(images[i])
+                masks[i] = clean_mask(_grabcut_refine(images[i], sal, threshold))
+            else:
+                flow = cv2.calcOpticalFlowFarneback(
+                    prev_gray, gray, None, 0.5, 3, 21, 3, 5, 1.1, 0
+                )
+                h, w = gray.shape
+                yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+                map_x = xx - flow[..., 0]
+                map_y = yy - flow[..., 1]
+                warped = cv2.remap(prev_mask, map_x, map_y, cv2.INTER_LINEAR)
+                masks[i] = clean_mask(warped)
+            prev_gray = gray
+            prev_mask = masks[i]
+    else:
+        for i in range(n):
+            sal = _saliency_mask(images[i])
+            masks[i] = clean_mask(_grabcut_refine(images[i], sal, threshold))
+
+    masked = images * masks[..., None]
+    return masked.astype(np.float32), masks

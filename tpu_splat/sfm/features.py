@@ -36,7 +36,7 @@ class FeatureConfig:
     num_octaves: int = 4
     scales_per_octave: int = 3
     sigma0: float = 1.6
-    contrast_threshold: float = 0.01
+    contrast_threshold: float = 0.006
     edge_threshold: float = 10.0
     upsample_first: bool = False  # "enhanced" mode: 2x upsample before octave 0
     dsp: bool = False  # domain-size pooling: average descriptors over 3 scales

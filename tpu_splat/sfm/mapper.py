@@ -48,13 +48,13 @@ class MapperConfig:
     feature: FeatureConfig = field(default_factory=FeatureConfig)
     matching_method: str = "sequential"
     exhaustive_max_images: int = 20
-    ratio: float = 0.8
+    ratio: float = 0.9
     max_matches_per_pair: int = 2048
     pixel_threshold: float = 4.0  # RANSAC / filtering threshold in pixels
-    min_pair_inliers: int = 15
+    min_pair_inliers: int = 20
     min_pnp_inliers: int = 12
     min_triangulation_angle_deg: float = 1.5
-    ba_every: int = 5  # global BA after this many new registrations
+    ba_every: int = 3  # global BA after this many new registrations
     ba_outer_iters: int = 10
     ba_cg_iters: int = 24
     max_reproj_error_px: float = 4.0
@@ -214,11 +214,13 @@ class IncrementalMapper:
             obs for root, obs in groups.items()
             if len(obs) >= 2 and root not in bad_roots
         ]
-        # per-image: track_id -> feature
+        # per-image: track_id -> feature, and the inverse (image, feature) -> track
         self.img_tracks: List[Dict[int, int]] = [dict() for _ in range(self.n)]
+        self._feat_track: Dict[Tuple[int, int], int] = {}
         for tid, obs in enumerate(self.tracks):
             for img, feat in obs:
                 self.img_tracks[img][tid] = feat
+                self._feat_track[(img, feat)] = tid
         self.log(f"tracks: {len(self.tracks)} "
                  f"(mean length {np.mean([len(t) for t in self.tracks]):.1f})")
 
@@ -282,12 +284,29 @@ class IncrementalMapper:
         self.log(f"init pair ({a},{b}): {n_pts} points")
         since_ba = 0
         self._attempts = np.zeros(self.n, np.int32)
+        min_inliers = cfg.min_pnp_inliers
         while True:
-            nxt = self._next_image()
+            nxt = self._next_image(min_inliers)
             if nxt is None:
-                break
+                # More registrations unlock more triangulations (length-2 tracks
+                # need both views registered) — retriangulate and retry before
+                # concluding; then relax the visibility bar once (desperation
+                # pass, like COLMAP's relaxed re-registration).
+                self._retriangulate()
+                nxt = self._next_image(min_inliers)
+                if nxt is None and min_inliers > 6:
+                    min_inliers = 6
+                    continue
+                if nxt is None:
+                    # last resort: bootstrap any image strongly paired with a
+                    # registered one via two-view relative pose + scale transfer
+                    nxt = self._next_relative_candidate()
+                    if nxt is None:
+                        break
             self._attempts[nxt] += 1
-            ok = self._register_image(nxt)
+            ok = self._register_image(nxt, min_inliers)
+            if not ok:
+                ok = self._register_via_relative_pose(nxt)
             if not ok:
                 self.registered[nxt] = False
                 continue
@@ -342,7 +361,8 @@ class IncrementalMapper:
         registered observations (coverage grows as cameras register/BA improves)."""
         self._triangulate_image_tracks(list(np.nonzero(self.registered)[0]))
 
-    def _next_image(self) -> Optional[int]:
+    def _next_image(self, min_inliers: Optional[int] = None) -> Optional[int]:
+        min_inliers = min_inliers or self.cfg.min_pnp_inliers
         best, best_count = None, 0
         for i in range(self.n):
             if self.registered[i] or self._attempts[i] >= 3 or not self.img_tracks[i]:
@@ -352,14 +372,15 @@ class IncrementalMapper:
             )
             if count > best_count:
                 best, best_count = i, count
-        if best is None or best_count < self.cfg.min_pnp_inliers:
+        if best is None or best_count < min_inliers:
             return None
         return best
 
-    def _register_image(self, i: int) -> bool:
+    def _register_image(self, i: int, min_inliers: Optional[int] = None) -> bool:
         cfg = self.cfg
+        min_inliers = min_inliers or cfg.min_pnp_inliers
         tids = [tid for tid in self.img_tracks[i] if self.has_point[tid]]
-        if len(tids) < cfg.min_pnp_inliers:
+        if len(tids) < min_inliers:
             return False
         feats = np.array([self.img_tracks[i][tid] for tid in tids])
         X = self.points[tids]
@@ -400,12 +421,95 @@ class IncrementalMapper:
             if best is None or count > best[0]:
                 best = (count, np.asarray(R), np.asarray(t))
         count, R, t = best
-        if count < cfg.min_pnp_inliers:
+        if count < min_inliers:
             self.log(f"register {i}: FAILED ({count} inliers)")
             return False
         self.R[i], self.t[i] = R, t
         self.registered[i] = True
         self.log(f"register {i}: {count}/{len(tids)} PnP inliers")
+        return True
+
+    def _next_relative_candidate(self) -> Optional[int]:
+        """Unregistered image with the strongest verified pair to a registered one."""
+        best, best_inl = None, 0
+        for (a, b), count in self.pair_inliers.items():
+            for reg, unreg in ((a, b), (b, a)):
+                if self.registered[reg] and not self.registered[unreg] \
+                        and self._attempts[unreg] < 3 and count > best_inl:
+                    best, best_inl = unreg, count
+        return best if best_inl >= self.cfg.min_pair_inliers else None
+
+    def _register_via_relative_pose(self, i: int) -> bool:
+        """Bootstrap registration from a two-view relative pose to a registered
+        neighbor, with scale transferred through shared triangulated tracks.
+
+        PnP needs length->=3 tracks; sparse match graphs can starve it even when a
+        pair (registered, new) has dozens of verified two-view matches. The
+        relative pose from that pair fixes R and the translation direction; the
+        unknown baseline scale is the median ratio between the global depths of
+        already-triangulated shared tracks and their depths in the unit-baseline
+        two-view triangulation."""
+        cfg = self.cfg
+        thresh_n = cfg.pixel_threshold / self.fx
+        # strongest verified pair with a registered image
+        cand = None
+        for (a, b), count in sorted(self.pair_inliers.items(),
+                                    key=lambda kv: -kv[1]):
+            for reg, unreg in ((a, b), (b, a)):
+                if unreg == i and self.registered[reg]:
+                    cand = (reg, (a, b))
+                    break
+            if cand:
+                break
+        if cand is None:
+            return False
+        r, key_pair = cand
+        idx = self.pair_matches[key_pair]
+        a, b = key_pair
+        # orient match columns as (registered, new)
+        feats_r = idx[:, 0] if a == r else idx[:, 1]
+        feats_i = idx[:, 1] if a == r else idx[:, 0]
+        xr = self._norm_coords(r, feats_r)
+        xi = self._norm_coords(i, feats_i)
+        E, inl = essential_ransac(
+            jnp.asarray(xr), jnp.asarray(xi), jnp.ones(len(xr), bool),
+            self._next_key(), threshold=thresh_n,
+        )
+        if int(np.asarray(inl).sum()) < cfg.min_pair_inliers:
+            return False
+        Rrel, trel = decompose_essential(E, jnp.asarray(xr), jnp.asarray(xi), inl)
+        Rrel, trel = np.asarray(Rrel), np.asarray(trel)
+
+        # unit-baseline two-view depths in camera r
+        P1 = np.concatenate([np.eye(3), np.zeros((3, 1))], 1).astype(np.float32)
+        P2 = np.concatenate([Rrel, trel[:, None]], 1).astype(np.float32)
+        X_rel = np.asarray(triangulate_dlt(jnp.asarray(P1), jnp.asarray(P2),
+                                           jnp.asarray(xr), jnp.asarray(xi)))
+        inl_np = np.asarray(inl)
+
+        # scale from shared triangulated tracks
+        k = self.cfg.feature.max_features
+        ratios = []
+        for row in range(len(feats_r)):
+            if not inl_np[row]:
+                continue
+            # find the track of (r, feat) and check it has a global point
+            tid = self._feat_track.get((r, int(feats_r[row])))
+            if tid is None or not self.has_point[tid]:
+                continue
+            d_global = float(self.R[r][2] @ self.points[tid] + self.t[r][2])
+            d_rel = float(X_rel[row, 2])
+            if d_global > 1e-6 and d_rel > 1e-6:
+                ratios.append(d_global / d_rel)
+        if len(ratios) < 2:
+            return False
+        s = float(np.median(ratios))
+        # compose: w2c_i = [Rrel | s*trel] o w2c_r
+        self.R[i] = (Rrel @ self.R[r]).astype(np.float32)
+        self.t[i] = (Rrel @ self.t[r] + s * trel).astype(np.float32)
+        self.registered[i] = True
+        self.log(f"register {i}: via relative pose to {r} "
+                 f"(scale from {len(ratios)} shared tracks)")
         return True
 
     def _triangulate_image_tracks(self, img_ids: List[int]):
