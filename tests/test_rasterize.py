@@ -99,14 +99,14 @@ class TestRasterizeParity:
         # red at depth 1 (near), green at depth 5
         out_near_red = rasterize(
             means2d, conics, colors, opac, jnp.array([1.0, 5.0]), radii,
-            width=64, height=48, max_per_tile=32,
+            width=64, height=48, max_per_tile=128,
         )
         c = np.asarray(out_near_red.color)[24, 32]
         assert c[0] > 0.9 and c[1] < 0.06
         # swap depths: green in front
         out_near_green = rasterize(
             means2d, conics, colors, opac, jnp.array([5.0, 1.0]), radii,
-            width=64, height=48, max_per_tile=32,
+            width=64, height=48, max_per_tile=128,
         )
         c = np.asarray(out_near_green.color)[24, 32]
         assert c[1] > 0.9 and c[0] < 0.06
@@ -114,11 +114,11 @@ class TestRasterizeParity:
     def test_culled_gaussians_invisible(self, rng):
         args = list(make_scene(rng, n=20))
         out_all = rasterize(*[jnp.asarray(a) for a in args], width=64, height=48,
-                            max_per_tile=64)
+                            max_per_tile=128)
         # zero radius = culled
         args[5] = np.zeros_like(args[5])
         out_none = rasterize(*[jnp.asarray(a) for a in args], width=64, height=48,
-                             max_per_tile=64)
+                             max_per_tile=128)
         assert float(jnp.abs(out_none.color).max()) == 0.0
         assert float(jnp.abs(out_all.color).max()) > 0.0
 
@@ -129,7 +129,7 @@ class TestRasterizeParity:
             out = rasterize(
                 means2d, jnp.asarray(args[1]), colors, opac,
                 jnp.asarray(args[4]), jnp.asarray(args[5]),
-                width=64, height=48, max_per_tile=64,
+                width=64, height=48, max_per_tile=128,
             )
             return jnp.sum(out.color**2)
 

@@ -30,7 +30,8 @@ from jax.experimental.pallas import tpu as pltpu
 from tpu_splat.gs.rasterize import ALPHA_THRESHOLD, MAX_ALPHA
 
 C_PACK = 16
-CHUNK = 32  # gaussians composited per inner step (VPU sublane-friendly)
+CHUNK = 128  # gaussians per inner step; lane-aligned so the packed (16, T, K)
+# blocks can be sliced along K, and the triangular prefix ops use full MXU tiles
 P = 256  # pixels per 16x16 tile
 
 
@@ -76,14 +77,20 @@ def _chunk_alpha(blk, px, py):
     return alpha, live
 
 
-def _forward_kernel(packed_ref, out_ref, *, k: int, tx: int, tile_size: int):
-    tile_id = pl.program_id(0)
+def _forward_kernel(packed_ref, out_ref, *, k: int, tx: int, tile_size: int,
+                    tiles_per_block: int):
+    for b in range(tiles_per_block):
+        _forward_one(packed_ref, out_ref, b,
+                     pl.program_id(0) * tiles_per_block + b, k, tx, tile_size)
+
+
+def _forward_one(packed_ref, out_ref, b, tile_id, k, tx, tile_size):
     px, py = _pixel_coords(tile_id, tx, tile_size)
     n_chunks = k // CHUNK
 
     def body(carry):
         c, accum, depth_acc, trans = carry
-        blk = packed_ref[0, pl.ds(c * CHUNK, CHUNK), :]
+        blk = packed_ref[:, b, pl.ds(pl.multiple_of(c * CHUNK, CHUNK), CHUNK)].T  # (CHUNK, C_PACK)
         alpha, _ = _chunk_alpha(blk, px, py)
         one_minus = 1.0 - alpha  # in [1 - MAX_ALPHA, 1] -> log is finite
         log_om = jnp.log(one_minus)
@@ -109,26 +116,32 @@ def _forward_kernel(packed_ref, out_ref, *, k: int, tx: int, tile_size: int):
         jnp.ones((1, P), jnp.float32),
     )
     _, accum, depth_acc, trans = jax.lax.while_loop(cond, body, init)
-    out_ref[0, 0:3, :] = accum
-    out_ref[0, 3:4, :] = 1.0 - trans
-    out_ref[0, 4:5, :] = depth_acc
-    out_ref[0, 5:8, :] = jnp.zeros((3, P), jnp.float32)
+    out_ref[b, 0:3, :] = accum
+    out_ref[b, 3:4, :] = 1.0 - trans
+    out_ref[b, 4:5, :] = depth_acc
+    out_ref[b, 5:8, :] = jnp.zeros((3, P), jnp.float32)
 
 
 def _backward_kernel(packed_ref, gout_ref, dpacked_ref, tstart_ref,
-                     *, k: int, tx: int, tile_size: int):
-    tile_id = pl.program_id(0)
+                     *, k: int, tx: int, tile_size: int, tiles_per_block: int):
+    for b in range(tiles_per_block):
+        _backward_one(packed_ref, gout_ref, dpacked_ref, tstart_ref, b,
+                      pl.program_id(0) * tiles_per_block + b, k, tx, tile_size)
+
+
+def _backward_one(packed_ref, gout_ref, dpacked_ref, tstart_ref, b, tile_id,
+                  k, tx, tile_size):
     px, py = _pixel_coords(tile_id, tx, tile_size)
     n_chunks = k // CHUNK
 
-    dC = gout_ref[0, 0:3, :]  # (3, P)
-    dA = gout_ref[0, 3:4, :]  # (1, P)
-    dD = gout_ref[0, 4:5, :]
+    dC = gout_ref[b, 0:3, :]  # (3, P)
+    dA = gout_ref[b, 3:4, :]  # (1, P)
+    dD = gout_ref[b, 4:5, :]
 
     # Pass 1: forward transmittance sweep, checkpoint T at each chunk start.
     def fwd_body(c, trans):
         tstart_ref[c, :] = trans[0]
-        blk = packed_ref[0, pl.ds(c * CHUNK, CHUNK), :]
+        blk = packed_ref[:, b, pl.ds(pl.multiple_of(c * CHUNK, CHUNK), CHUNK)].T  # (CHUNK, C_PACK)
         alpha, _ = _chunk_alpha(blk, px, py)
         return trans * jnp.exp(jnp.sum(jnp.log(1.0 - alpha), axis=0, keepdims=True))
 
@@ -137,7 +150,7 @@ def _backward_kernel(packed_ref, gout_ref, dpacked_ref, tstart_ref,
     # Pass 2: reverse sweep with the suffix accumulator S_p = sum_{j>i} w_j e_j.
     def bwd_body(i, suffix):
         c = n_chunks - 1 - i
-        blk = packed_ref[0, pl.ds(c * CHUNK, CHUNK), :]
+        blk = packed_ref[:, b, pl.ds(pl.multiple_of(c * CHUNK, CHUNK), CHUNK)].T  # (CHUNK, C_PACK)
         alpha, live = _chunk_alpha(blk, px, py)
         t_start = tstart_ref[c, :][None, :]
         one_minus = 1.0 - alpha
@@ -202,7 +215,7 @@ def _backward_kernel(packed_ref, gout_ref, dpacked_ref, tstart_ref,
             ],
             axis=1,
         )
-        dpacked_ref[0, pl.ds(c * CHUNK, CHUNK), :] = grad_blk
+        dpacked_ref[:, b, pl.ds(c * CHUNK, CHUNK)] = grad_blk.T
 
         return suffix + jnp.sum(we, axis=0, keepdims=True)
 
@@ -215,20 +228,34 @@ def composite_tiles(packed: jnp.ndarray, tx: int, ty: int, tile_size: int):
     return _composite_fwd_impl(packed, tx, ty, tile_size)
 
 
+def _pad_tiles(arr, axis: int, t_total: int):
+    """Pad the tile axis to a multiple of 8 (Mosaic block-shape constraint)."""
+    pad = (-t_total) % 8
+    if pad == 0:
+        return arr, t_total
+    widths = [(0, 0)] * arr.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(arr, widths), t_total + pad
+
+
 def _composite_fwd_impl(packed, tx, ty, tile_size):
-    t_total, k, _ = packed.shape
-    kernel = functools.partial(_forward_kernel, k=k, tx=tx, tile_size=tile_size)
-    return pl.pallas_call(
+    _, t_total, k = packed.shape
+    packed, t_pad = _pad_tiles(packed, 1, t_total)
+    tb = 8
+    kernel = functools.partial(_forward_kernel, k=k, tx=tx, tile_size=tile_size,
+                               tiles_per_block=tb)
+    out = pl.pallas_call(
         kernel,
-        grid=(t_total,),
+        grid=(t_pad // tb,),
         in_specs=[
-            pl.BlockSpec((1, k, C_PACK), lambda i: (i, 0, 0),
-                         memory_space=pltpu.ANY if False else pltpu.VMEM),
+            pl.BlockSpec((C_PACK, tb, k), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 8, P), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((tb, 8, P), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((t_total, 8, P), jnp.float32),
+    out_shape=jax.ShapeDtypeStruct((t_pad, 8, P), jnp.float32),
     )(packed)
+    return out[:t_total]
 
 
 def _composite_fwd(packed, tx, ty, tile_size):
@@ -237,23 +264,27 @@ def _composite_fwd(packed, tx, ty, tile_size):
 
 
 def _composite_bwd(tx, ty, tile_size, packed, gout):
-    t_total, k, _ = packed.shape
-    kernel = functools.partial(_backward_kernel, k=k, tx=tx, tile_size=tile_size)
+    _, t_total, k = packed.shape
+    packed, t_pad = _pad_tiles(packed, 1, t_total)
+    gout, _ = _pad_tiles(gout, 0, t_total)
+    tb = 8
+    kernel = functools.partial(_backward_kernel, k=k, tx=tx, tile_size=tile_size,
+                               tiles_per_block=tb)
     dpacked = pl.pallas_call(
         kernel,
-        grid=(t_total,),
+        grid=(t_pad // tb,),
         in_specs=[
-            pl.BlockSpec((1, k, C_PACK), lambda i: (i, 0, 0),
+            pl.BlockSpec((C_PACK, tb, k), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, P), lambda i: (i, 0, 0),
+            pl.BlockSpec((tb, 8, P), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, k, C_PACK), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((C_PACK, tb, k), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((t_total, k, C_PACK), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((C_PACK, t_pad, k), jnp.float32),
         scratch_shapes=[pltpu.VMEM((k // CHUNK, P), jnp.float32)],
     )(packed, gout)
-    return (dpacked,)
+    return (dpacked[:, :t_total, :],)
 
 
 composite_tiles.defvjp(_composite_fwd, _composite_bwd)
@@ -262,6 +293,7 @@ composite_tiles.defvjp(_composite_fwd, _composite_bwd)
 def composite_tiles_reference(packed: jnp.ndarray, tx: int, ty: int,
                               tile_size: int) -> jnp.ndarray:
     """Pure-XLA reference with identical semantics (used on CPU and in tests)."""
+    packed = jnp.transpose(packed, (1, 2, 0))  # (16,T,K) -> (T,K,16)
     t_total, k, _ = packed.shape
     tile_ids = jnp.arange(t_total, dtype=jnp.int32)
     lin = jnp.arange(P, dtype=jnp.int32)

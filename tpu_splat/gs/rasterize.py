@@ -72,18 +72,19 @@ def tile_gaussians(
     uint32 so a single u32 sort yields per-tile depth order directly.
     """
     n = means2d.shape[0]
-    assert n <= (1 << 20), "tile binning packs depth rank into 20 bits"
     tx = _ceil_div(width, tile_size)
     ty = _ceil_div(height, tile_size)
     t_total = tx * ty
     assert t_total < (1 << 12), "tile binning packs tile id into 12 bits"
 
     valid = radii > 0
-    iota = jnp.arange(n, dtype=jnp.int32)
-    depth_key = jnp.where(valid, depths, jnp.inf)
-    _, order = jax.lax.sort_key_val(depth_key, iota)  # rank -> original id
-    _, rank_of = jax.lax.sort_key_val(order, iota)  # original id -> depth rank
-    rank_u = rank_of.astype(jnp.uint32)
+    # Monotonic 20-bit depth key: for positive floats the IEEE bit pattern is
+    # order-preserving, so the top bits of the depth ARE its sort rank — no
+    # depth sort needed at all (ties at the 4096-bucket level are harmless).
+    depth_bits = jax.lax.bitcast_convert_type(
+        jnp.maximum(depths, 1e-20).astype(jnp.float32), jnp.uint32
+    )
+    rank_u = depth_bits >> 12  # 20 bits
 
     # Tile-space bbox (inclusive), original index space.
     x0 = jnp.clip(jnp.floor((means2d[:, 0] - radii) / tile_size), 0, tx - 1).astype(jnp.int32)
@@ -126,10 +127,10 @@ def tile_gaussians(
 
     keys = jnp.concatenate([keys1, keys2])
     np_total = keys.shape[0]
+    n_small_pairs = n * 4
     pair_ids = jnp.arange(np_total, dtype=jnp.int32)
     sorted_keys, sorted_pid = jax.lax.sort_key_val(keys, pair_ids)
     sorted_tile = (sorted_keys >> 20).astype(jnp.int32)
-    sorted_rank = (sorted_keys & jnp.uint32((1 << 20) - 1)).astype(jnp.int32)
 
     starts = jnp.searchsorted(sorted_tile, jnp.arange(t_total + 1, dtype=jnp.int32))
     tile_start = starts[:-1]  # (T,)
@@ -139,7 +140,14 @@ def tile_gaussians(
     pos = tile_start[:, None] + k[None, :]  # (T, K)
     gvalid = pos < tile_end[:, None]
     pos = jnp.minimum(pos, np_total - 1)
-    gidx = order[sorted_rank[pos]]  # (T, K) ORIGINAL gaussian indices
+    # pair id -> ORIGINAL gaussian id (tier1: pid//4; tier2: big_order[pid'//64])
+    pid = sorted_pid[pos]
+    m2_ = MAX_COVER_X * MAX_COVER_Y
+    gidx = jnp.where(
+        pid < n_small_pairs,
+        pid >> 2,
+        big_order[jnp.clip((pid - n_small_pairs) // m2_, 0, big_order.shape[0] - 1)],
+    )
 
     # Inverse mapping pair -> packed slot, for the gather-based gradient (the
     # scatter-add transpose of the packing gather is ~10x slower on TPU than
@@ -166,12 +174,14 @@ def _use_pallas() -> bool:
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
 def _pack_gather(feat, gidx_ext, slots_small, slots_big, big_order, tk: int):
-    """Gather (N+1 sentinel, 16) rows into (T, K, 16) tile blocks.
+    """Gather (N+1 sentinel, 16) rows into channel-major (16, T, K) tile blocks.
 
-    The custom VJP turns the gradient scatter-add (slow on TPU) into gathers via
-    the precomputed inverse slot maps from tile_gaussians."""
+    Channel-major keeps K on the 128-lane axis — a trailing dim of 16 wastes 7/8
+    of HBM bandwidth on every DMA. The custom VJP turns the gradient scatter-add
+    (slow on TPU) into gathers via the precomputed inverse slot maps."""
     feat_ext = jnp.concatenate([feat, jnp.zeros_like(feat[:1])], axis=0)
-    return feat_ext[gidx_ext]
+    t, k = gidx_ext.shape
+    return feat_ext[gidx_ext.reshape(-1)].T.reshape(feat.shape[1], t, k)
 
 
 def _pack_gather_fwd(feat, gidx_ext, slots_small, slots_big, big_order, tk):
@@ -181,12 +191,19 @@ def _pack_gather_fwd(feat, gidx_ext, slots_small, slots_big, big_order, tk):
 
 def _pack_gather_bwd(tk, res, d_packed):
     slots_small, slots_big, big_order, n = res
-    c = d_packed.shape[-1]
-    d_flat = jnp.concatenate(
-        [d_packed.reshape(tk, c), jnp.zeros((1, c), d_packed.dtype)], axis=0
+    c = d_packed.shape[0]
+    # row-major gathers are the fast path on TPU; the transpose fuses into them
+    d_rows = jnp.concatenate(
+        [d_packed.reshape(c, tk).T, jnp.zeros((1, c), d_packed.dtype)], axis=0
     )
-    d_feat = jnp.sum(d_flat[slots_small], axis=1)  # (N, C)
-    d_big = jnp.sum(d_flat[slots_big], axis=1)  # (K_big, C)
+    m_small = slots_small.shape[1]
+    m_big = slots_big.shape[1]
+    d_feat = jnp.sum(
+        d_rows[slots_small.reshape(-1)].reshape(n, m_small, c), axis=1
+    )
+    d_big = jnp.sum(
+        d_rows[slots_big.reshape(-1)].reshape(-1, m_big, c), axis=1
+    )
     d_feat = d_feat.at[big_order].add(d_big)
     return d_feat, None, None, None, None
 

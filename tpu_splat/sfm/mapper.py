@@ -311,6 +311,7 @@ class IncrementalMapper:
                 self.registered[nxt] = False
                 continue
             self._triangulate_image_tracks([nxt])
+            min_inliers = cfg.min_pnp_inliers  # rescue passes are one-shot
             since_ba += 1
             if since_ba >= cfg.ba_every:
                 self._bundle_adjust()
@@ -320,7 +321,7 @@ class IncrementalMapper:
         self._bundle_adjust()
         self._filter_observations()
         self._retriangulate()
-        self._bundle_adjust()
+        self._bundle_adjust(extended=True)
         self._filter_points()
         return self._to_scene()
 
@@ -594,7 +595,7 @@ class IncrementalMapper:
                 obs_uv.append(self._norm_coords(img, np.array([feat]))[0])
         return cam_ids, live, np.array(obs_cam), np.array(obs_pt), np.array(obs_uv)
 
-    def _bundle_adjust(self):
+    def _bundle_adjust(self, extended: bool = False):
         if self.registered.sum() < 2 or self.has_point.sum() < 8:
             return
         cfg = self.cfg
@@ -619,8 +620,8 @@ class IncrementalMapper:
         R, t, X, rms = bundle_adjust(
             problem,
             huber_delta=cfg.pixel_threshold / self.fx,
-            outer_iters=cfg.ba_outer_iters,
-            cg_iters=cfg.ba_cg_iters,
+            outer_iters=cfg.ba_outer_iters * (3 if extended else 1),
+            cg_iters=cfg.ba_cg_iters * (2 if extended else 1),
         )
         self.R[cam_ids] = np.asarray(R)
         self.t[cam_ids] = np.asarray(t)
@@ -650,6 +651,19 @@ class IncrementalMapper:
                 )
             if not errs or np.median(errs) > max_err_n:
                 self.has_point[tid] = False
+        # Robust spatial outlier filter: low-parallax junk passes reprojection
+        # checks but lands absurdly far away; drop points beyond 5x the 90th
+        # percentile distance from the robust scene center.
+        live = np.nonzero(self.has_point)[0]
+        if len(live) > 20:
+            pts = self.points[live]
+            center = np.median(pts, axis=0)
+            dist = np.linalg.norm(pts - center, axis=1)
+            limit = 3.0 * max(np.percentile(dist, 80), 1e-6)
+            far = dist > limit
+            if far.any():
+                self.has_point[live[far]] = False
+                self.log(f"filter: dropped {int(far.sum())} far outlier points")
 
     def _to_scene(self) -> SfMScene:
         live = np.nonzero(self.has_point)[0]
