@@ -48,6 +48,9 @@ def train_splat(
     masks: Optional[np.ndarray] = None,
     sh_degree: int = 3,
     seed: int = 0,
+    checkpoint_dir: Optional[str] = None,
+    resume: bool = False,
+    checkpoint_every: int = 0,
     log_fn=None,
 ) -> Tuple[GaussianCloud, Dict[str, float]]:
     """Train a splat from SfM output. images must align with scene.cameras."""
@@ -74,12 +77,25 @@ def train_splat(
                                      sh_degree=sh_degree)
 
     cfg = TrainConfig.for_model(model, max_steps=max_steps)
+    if checkpoint_every:
+        from dataclasses import replace as _replace
+
+        cfg = _replace(cfg, checkpoint_every=checkpoint_every)
     trainer = Trainer(
         params, imgs, viewmats, intrin, scene_scale=scene_scale, cfg=cfg,
         seed=seed, log_fn=log_fn,
     )
-    trainer.run(max_steps)
+    if checkpoint_dir:
+        trainer.checkpoint_dir = checkpoint_dir
+        if resume:
+            try:
+                trainer.load_checkpoint(checkpoint_dir)
+            except FileNotFoundError:
+                pass
+    trainer.run(max_steps - trainer.step)
     cloud = trainer.cloud()
+    # camera-pose optimization refines the SfM poses; evaluate with them
+    viewmats = trainer.adjusted_viewmats()
     metrics = {
         "num_gaussians": float(cloud.num_points),
         "train_steps": float(max_steps),

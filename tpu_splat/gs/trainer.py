@@ -9,6 +9,7 @@ static shapes. Model variants map to configs like the reference's model flag
 from __future__ import annotations
 
 import functools
+import os
 import time
 from dataclasses import dataclass, field, replace
 from typing import Callable, Dict, Optional
@@ -58,6 +59,12 @@ class TrainConfig:
     antialiased: bool = False
     grow_threshold: float = 0.95
     eval_every: int = 1000
+    # Camera-pose optimization (splatfacto camera-optimizer analog): per-view
+    # se(3) deltas trained jointly with the splat — absorbs residual SfM drift.
+    optimize_camera_poses: bool = True
+    lr_camera: float = 1e-4
+    # Orbax checkpoints every N steps when a checkpoint_dir is set on the Trainer.
+    checkpoint_every: int = 2000
 
     @classmethod
     def for_model(cls, model: str, max_steps: int = 30000) -> "TrainConfig":
@@ -94,6 +101,18 @@ def _lr_tree(cfg: TrainConfig, scene_scale: float, step: jnp.ndarray, max_steps:
     }
 
 
+def apply_camera_delta(viewmat: jnp.ndarray, cam_delta: jnp.ndarray) -> jnp.ndarray:
+    """Left-apply an se(3) delta (w, dt) to a 4x4 w2c matrix."""
+    from tpu_splat.sfm.geometry import exp_so3
+
+    R = exp_so3(cam_delta[:3]) @ viewmat[:3, :3]
+    t = viewmat[:3, 3] + cam_delta[3:]
+    top = jnp.concatenate([R, t[:, None]], axis=1)
+    return jnp.concatenate(
+        [top, jnp.array([[0.0, 0.0, 0.0, 1.0]], viewmat.dtype)], axis=0
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "width", "height", "active_sh_degree"),
@@ -112,11 +131,16 @@ def train_step(
     width: int,
     height: int,
     active_sh_degree: int,
+    cam_delta: Optional[jnp.ndarray] = None,  # (6,) se(3) delta for this view
 ):
-    """One optimization step on one view. Returns (params, adam, dstate, metrics)."""
+    """One optimization step on one view. Returns (params, adam, dstate, metrics
+    [, cam_grad])."""
     alive = params["alive"]
     trainable = {k: v for k, v in params.items() if k != "alive"}
     capacity = alive.shape[0]
+    opt_cams = cam_delta is not None
+    if cam_delta is None:
+        cam_delta = jnp.zeros((6,))
 
     bg_key, key = jax.random.split(key)
     if cfg.random_background:
@@ -124,10 +148,11 @@ def train_step(
     else:
         bg = jnp.zeros((3,))
 
-    def loss_fn(p, dummy):
+    def loss_fn(p, dummy, cd):
+        vm = apply_camera_delta(viewmat, cd)
         out = render_view(
             p["means"], p["scales"], p["quats"], p["opacities"], p["sh0"], p["shN"],
-            viewmat, intrin[0], intrin[1], intrin[2], intrin[3], width, height,
+            vm, intrin[0], intrin[1], intrin[2], intrin[3], width, height,
             sh_degree=active_sh_degree, background=bg, antialiased=cfg.antialiased,
             tile_size=cfg.tile_size, max_per_tile=cfg.max_per_tile,
             means2d_dummy=dummy, alive=alive,
@@ -143,10 +168,10 @@ def train_step(
         return loss, out
 
     dummy = jnp.zeros((capacity, 2))
-    (loss, out), grads = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
-        trainable, dummy
-    )
-    param_grads, means2d_grad = grads
+    (loss, out), grads = jax.value_and_grad(
+        loss_fn, argnums=(0, 1, 2), has_aux=True
+    )(trainable, dummy, cam_delta)
+    param_grads, means2d_grad, cam_grad = grads
 
     # Zero gradients for dead slots.
     param_grads = {
@@ -173,6 +198,8 @@ def train_step(
 
     dstate = accumulate_gradients(dstate, means2d_grad, radii, width, height)
     metrics = {"loss": loss, "psnr": psnr(out.color, image)}
+    if opt_cams:
+        return new_params, adam_state, dstate, metrics, cam_grad
     return new_params, adam_state, dstate, metrics
 
 
@@ -203,6 +230,11 @@ class Trainer:
         self.log = log_fn or (lambda s: None)
         self.height, self.width = images.shape[1:3]
         self._mcmc_state = None
+        n_views = images.shape[0]
+        self.cam_deltas = jnp.zeros((n_views, 6))
+        self._cam_mu = jnp.zeros((n_views, 6))
+        self._cam_nu = jnp.zeros((n_views, 6))
+        self.checkpoint_dir: Optional[str] = None
 
     def _active_sh_degree(self) -> int:
         return min(self.step // self.cfg.sh_degree_interval, self.cfg.sh_degree)
@@ -217,13 +249,27 @@ class Trainer:
             view = int(rng.integers(n_views))
             self.key, sub = jax.random.split(self.key)
             image = jnp.asarray(self.images[view])
-            self.params, self.adam, self.dstate, metrics = train_step(
-                self.params, self.adam, self.dstate, image,
-                self.viewmats[view], self.intrinsics[view],
-                jnp.asarray(self.step), sub, self.scene_scale, cfg,
-                self.width, self.height, self._active_sh_degree(),
-            )
+            if cfg.optimize_camera_poses:
+                (self.params, self.adam, self.dstate, metrics,
+                 cam_grad) = train_step(
+                    self.params, self.adam, self.dstate, image,
+                    self.viewmats[view], self.intrinsics[view],
+                    jnp.asarray(self.step), sub, self.scene_scale, cfg,
+                    self.width, self.height, self._active_sh_degree(),
+                    cam_delta=self.cam_deltas[view],
+                )
+                self._update_camera(view, cam_grad)
+            else:
+                self.params, self.adam, self.dstate, metrics = train_step(
+                    self.params, self.adam, self.dstate, image,
+                    self.viewmats[view], self.intrinsics[view],
+                    jnp.asarray(self.step), sub, self.scene_scale, cfg,
+                    self.width, self.height, self._active_sh_degree(),
+                )
             self.step += 1
+            if (self.checkpoint_dir
+                    and self.step % cfg.checkpoint_every == 0):
+                self.save_checkpoint(self.checkpoint_dir)
 
             if cfg.strategy == "default":
                 self._default_refine()
@@ -289,6 +335,94 @@ class Trainer:
         self.key, sub = jax.random.split(self.key)
         lr_means = float(cfg.lr_means * self.scene_scale)
         self.params = mcmc_mod.add_noise(self.params, sub, lr_means, cfg.mcmc)
+
+    def _update_camera(self, view: int, grad):
+        """Adam update for one camera's se(3) delta."""
+        cfg = self.cfg
+        b1, b2, eps = 0.9, 0.999, 1e-8
+        mu = b1 * self._cam_mu[view] + (1 - b1) * grad
+        nu = b2 * self._cam_nu[view] + (1 - b2) * grad * grad
+        t = max(self.step, 1)
+        step_v = cfg.lr_camera * (mu / (1 - b1**t)) / (jnp.sqrt(nu / (1 - b2**t)) + eps)
+        self._cam_mu = self._cam_mu.at[view].set(mu)
+        self._cam_nu = self._cam_nu.at[view].set(nu)
+        self.cam_deltas = self.cam_deltas.at[view].add(-step_v)
+
+    def adjusted_viewmats(self) -> np.ndarray:
+        """World-to-camera matrices with the learned pose corrections applied."""
+        out = []
+        for i in range(self.viewmats.shape[0]):
+            out.append(np.asarray(
+                apply_camera_delta(self.viewmats[i], self.cam_deltas[i])
+            ))
+        return np.stack(out)
+
+    # ---------- checkpointing (orbax) ----------
+
+    def _ckpt_state(self):
+        return {
+            "params": self.params,
+            "adam_mu": self.adam.mu,
+            "adam_nu": self.adam.nu,
+            "adam_count": self.adam.count,
+            "dstate_grad": self.dstate.grad_accum,
+            "dstate_count": self.dstate.count_accum,
+            "cam_deltas": self.cam_deltas,
+            "cam_mu": self._cam_mu,
+            "cam_nu": self._cam_nu,
+            "step": jnp.asarray(self.step),
+            "key": self.key,
+        }
+
+    @staticmethod
+    def _sanitize(tree):
+        # orbax cannot store zero-size arrays (e.g. degree-0 shN); swap in a
+        # 1-element placeholder and restore the real empty array afterwards
+        return jax.tree.map(
+            lambda a: jnp.zeros((1,), a.dtype) if a.size == 0 else a, tree
+        )
+
+    def save_checkpoint(self, directory: str):
+        """Write an orbax checkpoint at the current step (resumable)."""
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(os.path.join(directory, f"step_{self.step:08d}"))
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path, self._sanitize(self._ckpt_state()), force=True)
+        ckptr.wait_until_finished()
+        self.log(f"checkpoint saved: {path}")
+
+    def load_checkpoint(self, directory: str, step: Optional[int] = None):
+        """Restore the latest (or given-step) checkpoint and resume from it."""
+        import orbax.checkpoint as ocp
+
+        root = os.path.abspath(directory)
+        if step is None:
+            steps = sorted(
+                int(d.split("_")[1]) for d in os.listdir(root)
+                if d.startswith("step_")
+            )
+            if not steps:
+                raise FileNotFoundError(f"no checkpoints under {root}")
+            step = steps[-1]
+        path = os.path.join(root, f"step_{step:08d}")
+        ckptr = ocp.StandardCheckpointer()
+        template = self._ckpt_state()
+        restored = ckptr.restore(path, self._sanitize(template))
+        state = jax.tree.map(
+            lambda orig, new: orig if orig.size == 0 else new, template, restored
+        )
+        self.params = state["params"]
+        self.adam = AdamState(mu=state["adam_mu"], nu=state["adam_nu"],
+                              count=state["adam_count"])
+        self.dstate = DensifyState(grad_accum=state["dstate_grad"],
+                                   count_accum=state["dstate_count"])
+        self.cam_deltas = state["cam_deltas"]
+        self._cam_mu = state["cam_mu"]
+        self._cam_nu = state["cam_nu"]
+        self.step = int(state["step"])
+        self.key = state["key"]
+        self.log(f"checkpoint restored: {path}")
 
     def cloud(self):
         return params_to_cloud(self.params)

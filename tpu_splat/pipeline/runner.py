@@ -281,6 +281,8 @@ def _train(ctx: PipelineContext):
         max_steps=cfg.training.max_steps,
         downscale_factor=cfg.training.downscale_factor,
         masks=ctx.get("masks"),
+        checkpoint_dir=os.path.join(ctx["out_dir"], "checkpoints"),
+        resume=True,
         log_fn=pipe_logger(ctx),
     )
     ctx["splat"] = cloud
