@@ -61,7 +61,7 @@ class PosePriorConfig:
 @dataclass
 class SfMConfig:
     enable: bool = True
-    software_name: str = "native"  # native | incremental | global (colmap/glomap analogs)
+    software_name: str = "native"  # native/colmap = incremental, glomap/global = rotation+position averaging
     enable_enhanced_feature_extraction: bool = True
     matching_method: str = "sequential"  # sequential | spatial | vocab | exhaustive
     pose_priors: PosePriorConfig = field(default_factory=PosePriorConfig)

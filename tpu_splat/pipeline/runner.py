@@ -243,7 +243,12 @@ def _sfm(ctx: PipelineContext):
         exhaustive_max_images=cfg.sfm.exhaustive_matching_max_images,
     )
     try:
-        scene = run_sfm(images, mcfg, log_fn=pipe_logger(ctx))
+        if cfg.sfm.software_name in ("glomap", "global"):
+            from tpu_splat.sfm.global_mapper import run_global_sfm
+
+            scene = run_global_sfm(images, mcfg, log_fn=pipe_logger(ctx))
+        else:
+            scene = run_sfm(images, mcfg, log_fn=pipe_logger(ctx))
     except RuntimeError as e:
         raise PipelineError(755, str(e)) from e
     ctx["scene"] = scene
