@@ -156,12 +156,35 @@ def _register_components(pipe: Pipeline, cfg: JobConfig, out_dir: str):
 def _resolve_input(ctx: PipelineContext):
     cfg: JobConfig = ctx["cfg"]
     path = cfg.input_path
+    from tpu_splat.ingest.video import IMAGE_EXTENSIONS, VIDEO_EXTENSIONS
+
+    # Multi-video property scans: comma-separated video list -> merged SfM.
+    if "," in (path or ""):
+        parts = [p.strip() for p in path.split(",") if p.strip()]
+        for p in parts:
+            if not os.path.exists(p):
+                raise PipelineError(710, f"input not found: {p!r}")
+            if os.path.splitext(p)[1].lower() not in VIDEO_EXTENSIONS:
+                raise PipelineError(705, f"multi-input only supports videos: {p!r}")
+        ctx["input_kind"] = "multi_video"
+        ctx["input_path"] = parts
+        return
     if not path or not os.path.exists(path):
         raise PipelineError(710, f"input not found: {path!r}")
     ext = os.path.splitext(path)[1].lower()
-    from tpu_splat.ingest.video import IMAGE_EXTENSIONS, VIDEO_EXTENSIONS
-
     if os.path.isdir(path):
+        vids = sorted(
+            os.path.join(path, f) for f in os.listdir(path)
+            if f.lower().endswith(VIDEO_EXTENSIONS)
+        )
+        if len(vids) > 1:
+            ctx["input_kind"] = "multi_video"
+            ctx["input_path"] = vids
+            return
+        if len(vids) == 1:
+            ctx["input_kind"] = "video"
+            ctx["input_path"] = vids[0]
+            return
         ctx["input_kind"] = "dir"
     elif ext in VIDEO_EXTENSIONS:
         ctx["input_kind"] = "video"
@@ -184,6 +207,22 @@ def _media_to_images(ctx: PipelineContext):
     if kind == "video":
         images = extract_frames(ctx["input_path"], max_frames=max(max_images * 2, 60),
                                 resize_max_dim=resize)
+    elif kind == "multi_video":
+        # merged SfM over several captures of the same property: frames from all
+        # videos share one image set; exhaustive/retrieval matching links them
+        import numpy as _np
+
+        paths = ctx["input_path"]
+        per = max(max_images * 2 // len(paths), 30)
+        segs, stacks = [], []
+        for p in paths:
+            frames = extract_frames(p, max_frames=per, resize_max_dim=resize)
+            segs.append(len(frames))
+            stacks.append(frames)
+        h = min(s.shape[1] for s in stacks)
+        w = min(s.shape[2] for s in stacks)
+        images = _np.concatenate([s[:, :h, :w] for s in stacks])
+        ctx["segments"] = segs
     elif kind == "zip":
         img_dir = os.path.join(ctx["out_dir"], "images_raw")
         extract_zip(ctx["input_path"], img_dir)
