@@ -83,7 +83,7 @@ def train_splat(
         cfg = _replace(cfg, checkpoint_every=checkpoint_every)
     trainer = Trainer(
         params, imgs, viewmats, intrin, scene_scale=scene_scale, cfg=cfg,
-        seed=seed, log_fn=log_fn,
+        seed=seed, masks=masks, log_fn=log_fn,
     )
     if checkpoint_dir:
         trainer.checkpoint_dir = checkpoint_dir

@@ -132,6 +132,7 @@ def train_step(
     height: int,
     active_sh_degree: int,
     cam_delta: Optional[jnp.ndarray] = None,  # (6,) se(3) delta for this view
+    mask: Optional[jnp.ndarray] = None,  # (H, W) 1 = subject, 0 = removed bg
 ):
     """One optimization step on one view. Returns (params, adam, dstate, metrics
     [, cam_grad])."""
@@ -158,7 +159,16 @@ def train_step(
             means2d_dummy=dummy, alive=alive,
         )
         gt = image
-        loss = image_loss(out.color, gt, cfg.ssim_lambda)
+        if mask is not None:
+            # masked captures: composite the subject over the training background
+            # and pull rendered alpha toward the mask (the splatfacto-w alpha/bg
+            # loss semantics for background-removed inputs)
+            m = mask[..., None]
+            gt = gt * m + bg * (1.0 - m)
+            alpha_loss = jnp.mean(jnp.abs(out.alpha - mask))
+        else:
+            alpha_loss = 0.0
+        loss = image_loss(out.color, gt, cfg.ssim_lambda) + 0.1 * alpha_loss
         if cfg.scale_reg_weight > 0:
             loss = loss + cfg.scale_reg_weight * scale_regularization(p["scales"], alive)
         if cfg.opacity_reg_weight > 0:
@@ -215,10 +225,12 @@ class Trainer:
         scene_scale: float,
         cfg: TrainConfig,
         seed: int = 0,
+        masks: Optional[np.ndarray] = None,  # (M, H, W) subject masks
         log_fn: Optional[Callable[[str], None]] = None,
     ):
         self.params = params
         self.images = images
+        self.masks = masks
         self.viewmats = jnp.asarray(viewmats)
         self.intrinsics = jnp.asarray(intrinsics)
         self.scene_scale = float(scene_scale)
@@ -249,6 +261,8 @@ class Trainer:
             view = int(rng.integers(n_views))
             self.key, sub = jax.random.split(self.key)
             image = jnp.asarray(self.images[view])
+            mask = (jnp.asarray(self.masks[view])
+                    if self.masks is not None else None)
             if cfg.optimize_camera_poses:
                 (self.params, self.adam, self.dstate, metrics,
                  cam_grad) = train_step(
@@ -256,7 +270,7 @@ class Trainer:
                     self.viewmats[view], self.intrinsics[view],
                     jnp.asarray(self.step), sub, self.scene_scale, cfg,
                     self.width, self.height, self._active_sh_degree(),
-                    cam_delta=self.cam_deltas[view],
+                    cam_delta=self.cam_deltas[view], mask=mask,
                 )
                 self._update_camera(view, cam_grad)
             else:
@@ -265,6 +279,7 @@ class Trainer:
                     self.viewmats[view], self.intrinsics[view],
                     jnp.asarray(self.step), sub, self.scene_scale, cfg,
                     self.width, self.height, self._active_sh_degree(),
+                    mask=mask,
                 )
             self.step += 1
             if (self.checkpoint_dir

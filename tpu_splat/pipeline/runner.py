@@ -293,6 +293,8 @@ def _sfm(ctx: PipelineContext):
     ctx["scene"] = scene
     reg = np.asarray(scene.registered)
     ctx["images"] = images[reg]
+    if ctx.get("masks") is not None:
+        ctx["masks"] = ctx["masks"][reg]
 
 
 def _quality_gate(ctx: PipelineContext):
