@@ -104,3 +104,32 @@ def test_distributed_matches_gradient_of_mean_loss(dp_setup):
     delta = np.asarray(p1["means"]) - np.asarray(params["means"])
     mask = np.abs(g) > 1e-12
     assert np.all(np.sign(delta[mask]) == -np.sign(g[mask]))
+
+
+def test_distributed_trainer_with_densify(dp_setup):
+    """Full multi-chip training loop incl. a densification pass on the mesh."""
+    from tpu_splat.gs.strategy import DensifyConfig
+    from tpu_splat.mesh.trainer import DistributedTrainer
+    from tpu_splat.gs.trainer import TrainConfig
+
+    params, images, viewmats, intrin, _ = dp_setup
+    cfg = TrainConfig(
+        max_steps=30, sh_degree=0, max_per_tile=128, random_background=False,
+        densify=DensifyConfig(refine_start=10, refine_stop=30, refine_every=10,
+                              grad_threshold=1e-6, reset_opacity_every=10**9),
+        eval_every=10**9,
+    )
+    mesh = make_mesh(n_data=4, n_gauss=2)
+    tr = DistributedTrainer(params, images, viewmats, intrin, scene_scale=2.0,
+                            cfg=cfg, mesh=mesh)
+    n0 = int(np.sum(np.asarray(tr.params["alive"])))
+    tr.run(25)
+    n1 = int(np.sum(np.asarray(tr.params["alive"])))
+    assert n1 > n0, f"densification never fired on the mesh ({n0} -> {n1})"
+    cloud = tr.cloud()
+    assert cloud.num_points == n1
+    for k, v in tr.params.items():
+        if v.dtype != bool:
+            assert bool(jnp.all(jnp.isfinite(v))), k
+    # still sharded after refine
+    assert "gauss" in tr.params["means"].sharding.spec
