@@ -66,7 +66,7 @@ def main():
     intrins = jnp.asarray(np.array(intrins, np.float32))
     images = jnp.asarray(np.stack(images))
 
-    cfg = TrainConfig(max_steps=30000, sh_degree=3, max_per_tile=1024,
+    cfg = TrainConfig(max_steps=30000, sh_degree=3,
                       random_background=False)
     adam = adam_init(params)
     dstate = densify_state_init(capacity)

@@ -226,7 +226,7 @@ def rasterize(
     height: int,
     background: Optional[jnp.ndarray] = None,
     tile_size: int = 16,
-    max_per_tile: int = 1024,
+    max_per_tile: int = 512,
     backend: str = "auto",
 ) -> RasterOutput:
     """Alpha-composite projected gaussians into an image.

@@ -35,7 +35,7 @@ def render_view(
     background: Optional[jnp.ndarray] = None,
     antialiased: bool = False,
     tile_size: int = 16,
-    max_per_tile: int = 1024,
+    max_per_tile: int = 512,
     means2d_dummy: Optional[jnp.ndarray] = None,
     alive: Optional[jnp.ndarray] = None,
 ) -> RasterOutput:
@@ -80,7 +80,7 @@ def render_cloud(
     cam_index: int = 0,
     sh_degree: Optional[int] = None,
     background: Optional[jnp.ndarray] = None,
-    max_per_tile: int = 1024,
+    max_per_tile: int = 512,
 ) -> RasterOutput:
     """Convenience: render a GaussianCloud through one camera of a Cameras batch."""
     viewmat = cameras.worldtocams[cam_index]

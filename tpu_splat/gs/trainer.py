@@ -50,7 +50,7 @@ class TrainConfig:
     densify: DensifyConfig = field(default_factory=DensifyConfig)
     strategy: str = "default"  # default | mcmc
     mcmc: "mcmc_mod.MCMCConfig" = field(default_factory=lambda: mcmc_mod.MCMCConfig())
-    max_per_tile: int = 1024
+    max_per_tile: int = 512
     tile_size: int = 16
     random_background: bool = True
     scale_reg_weight: float = 0.0  # splatfacto use_scale_regularization analog
