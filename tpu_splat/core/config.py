@@ -9,11 +9,10 @@ source/container/src/config.json).
 
 from __future__ import annotations
 
-import dataclasses
 import json
 import uuid as uuid_mod
 from dataclasses import dataclass, field
-from typing import Any, Optional
+from typing import Any
 
 from tpu_splat.core.errors import PipelineError
 

@@ -34,7 +34,7 @@ from typing import Union
 
 import numpy as np
 
-from tpu_splat.core.types import GaussianCloud, SH_DIM_FOR_DEGREE, sh_degree_for_dim
+from tpu_splat.core.types import GaussianCloud, SH_DIM_FOR_DEGREE
 
 MAGIC = 0x5053474E
 VERSION = 2

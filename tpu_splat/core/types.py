@@ -19,7 +19,6 @@ shard_map directly. Conventions:
 from __future__ import annotations
 
 import enum
-from typing import Optional
 
 import jax.numpy as jnp
 import numpy as np

@@ -8,7 +8,6 @@ plus our `ConvertPlyToSpz` extension) via ctypes. Builds on demand with cmake.
 from __future__ import annotations
 
 import ctypes
-import os
 import subprocess
 from pathlib import Path
 from typing import Optional

@@ -14,7 +14,7 @@ from typing import Dict
 
 import numpy as np
 
-from tpu_splat.export.floorplan import _plane_basis, _points_to_polygon
+from tpu_splat.export.floorplan import _plane_basis
 from tpu_splat.export.measurement import fit_ground_plane_ransac
 
 

@@ -15,7 +15,7 @@ after the previous).
 from __future__ import annotations
 
 import math
-from typing import List, Sequence, Tuple
+from typing import List
 
 import numpy as np
 

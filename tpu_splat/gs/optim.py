@@ -11,7 +11,6 @@ from __future__ import annotations
 
 from typing import Dict, NamedTuple, Optional
 
-import jax
 import jax.numpy as jnp
 
 Params = Dict[str, jnp.ndarray]

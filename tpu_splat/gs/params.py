@@ -9,9 +9,8 @@ crosses a threshold (one recompile per growth, a handful per run).
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

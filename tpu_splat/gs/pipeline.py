@@ -13,7 +13,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpu_splat.core.types import GaussianCloud, SfMScene
-from tpu_splat.gs.params import init_params_from_points, num_alive, params_to_cloud
+from tpu_splat.gs.params import init_params_from_points
 from tpu_splat.gs.trainer import TrainConfig, Trainer
 
 

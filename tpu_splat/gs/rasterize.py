@@ -20,7 +20,6 @@ program for the whole training run.
 from __future__ import annotations
 
 import functools
-import math
 from typing import NamedTuple, Optional
 
 import jax

@@ -9,7 +9,7 @@ PyTorch checkpoints (u2net.pth / u2net_human_seg.pth) with
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, List
 
 import jax
 import jax.numpy as jnp

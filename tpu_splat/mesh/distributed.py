@@ -19,16 +19,15 @@ global batch grows, so a fixed step budget sees batch-x more images.
 
 from __future__ import annotations
 
-import functools
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from tpu_splat.gs.optim import AdamState, adam_init
-from tpu_splat.gs.strategy import DensifyState, accumulate_gradients, densify_state_init
+from tpu_splat.gs.optim import AdamState
+from tpu_splat.gs.strategy import DensifyState
 
 
 def make_mesh(n_data: Optional[int] = None, n_gauss: int = 1,
@@ -67,7 +66,7 @@ def make_distributed_train_step(
     B must be a multiple of the data-axis size; params/optimizer state are
     sharded along "gauss", batch along "data".
     """
-    from tpu_splat.gs.losses import image_loss, psnr
+    from tpu_splat.gs.losses import image_loss
     from tpu_splat.gs.projection import project_gaussians
     from tpu_splat.gs.render import render_view
     from tpu_splat.gs.trainer import _lr_tree

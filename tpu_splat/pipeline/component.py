@@ -12,9 +12,8 @@ from __future__ import annotations
 import enum
 import logging
 import time
-import traceback
 from dataclasses import dataclass, field
-from typing import Any, Callable, Dict, List, Optional
+from typing import Callable, Dict, List, Optional
 
 from tpu_splat.core.errors import ERROR_MESSAGES, PipelineError, is_sfm_failure
 

@@ -28,13 +28,7 @@ from tpu_splat.core.config import JobConfig
 from tpu_splat.core.errors import PipelineError
 from tpu_splat.core.ply import save_ply
 from tpu_splat.core import spz as spz_codec
-from tpu_splat.pipeline.component import (
-    Component,
-    ComponentType,
-    Pipeline,
-    PipelineContext,
-    Status,
-)
+from tpu_splat.pipeline.component import ComponentType, Pipeline, PipelineContext
 from tpu_splat.pipeline.sink import ArtifactSink
 
 

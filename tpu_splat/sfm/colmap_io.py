@@ -15,7 +15,7 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
-from tpu_splat.core.types import Cameras, SfMScene
+from tpu_splat.core.types import SfMScene
 
 
 def _rotmat_to_qvec(R: np.ndarray) -> np.ndarray:

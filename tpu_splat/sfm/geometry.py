@@ -10,7 +10,7 @@ correspondences in one shot — a dense (S x M) computation that XLA vectorizes.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -29,14 +29,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpu_splat.core.types import Cameras, SfMScene
-from tpu_splat.sfm.ba import BAProblem, bundle_adjust, reprojection_errors
+from tpu_splat.sfm.ba import BAProblem, bundle_adjust
 from tpu_splat.sfm.features import FeatureConfig, extract_features, rgb_to_gray
 from tpu_splat.sfm.geometry import (
-    pnp_refine_annealed,
     decompose_essential,
     essential_ransac,
     pnp_ransac,
-    refine_pnp,
+    pnp_refine_annealed,
     triangulate_dlt,
     triangulate_multiview,
 )

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 
@@ -108,9 +108,6 @@ def sfm_with_pose_priors(
     building from the incremental mapper, then triangulates every track against
     the fixed prior poses; optionally a final BA refines poses slightly
     (refine_intrinsics-style polish) around the priors."""
-    import jax.numpy as jnp
-
-    from tpu_splat.core.types import Cameras, SfMScene
     from tpu_splat.sfm.mapper import IncrementalMapper, MapperConfig
 
     cfg = mapper_cfg or MapperConfig()

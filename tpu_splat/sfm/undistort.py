@@ -9,7 +9,6 @@ image and sample bilinearly — one vectorized gather, batchable over frames.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

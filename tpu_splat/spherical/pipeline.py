@@ -14,16 +14,12 @@ Operates on an in-memory image table instead of renaming files on disk.
 from __future__ import annotations
 
 import math
-from typing import List, Sequence
+from typing import List
 
 import jax.numpy as jnp
 import numpy as np
 
-from tpu_splat.spherical.projections import (
-    FACE_NAMES,
-    erp_to_perspective,
-    rotation_yaw_pitch,
-)
+from tpu_splat.spherical.projections import erp_to_perspective, rotation_yaw_pitch
 
 _FACE_YAW = {"front": 0.0, "right": 90.0, "back": 180.0, "left": -90.0}
 # Horizontal connective angles between adjacent faces (the reference's
