@@ -214,9 +214,12 @@ def run_global_sfm(
     log_fn=None,
 ) -> SfMScene:
     """Global SfM entry point (the glomap-mapper analog)."""
+    import jax
+
     cfg = cfg or MapperConfig()
-    m = GlobalMapper(images, cfg, fx=fx, fy=fy, cx=cx, cy=cy, log_fn=log_fn)
-    m.extract_all()
-    m.match_all()
-    m.build_tracks()
-    return m.reconstruct()
+    with jax.default_matmul_precision("highest"):
+        m = GlobalMapper(images, cfg, fx=fx, fy=fy, cx=cx, cy=cy, log_fn=log_fn)
+        m.extract_all()
+        m.match_all()
+        m.build_tracks()
+        return m.reconstruct()

@@ -718,10 +718,15 @@ def run_sfm(
     cy: Optional[float] = None,
     log_fn=None,
 ) -> SfMScene:
-    """images (N, H, W[, 3]) float in [0,1] -> SfMScene (poses + sparse points)."""
+    """images (N, H, W[, 3]) float in [0,1] -> SfMScene (poses + sparse points).
+
+    SfM runs under full-f32 matmul precision: the MXU's default bf16 passes
+    degrade descriptor distances and RANSAC geometry enough to lose most
+    registrations (training, by contrast, is happy in bf16)."""
     cfg = cfg or MapperConfig()
-    m = IncrementalMapper(images, cfg, fx=fx, fy=fy, cx=cx, cy=cy, log_fn=log_fn)
-    m.extract_all()
-    m.match_all()
-    m.build_tracks()
-    return m.reconstruct()
+    with jax.default_matmul_precision("highest"):
+        m = IncrementalMapper(images, cfg, fx=fx, fy=fy, cx=cx, cy=cy, log_fn=log_fn)
+        m.extract_all()
+        m.match_all()
+        m.build_tracks()
+        return m.reconstruct()
