@@ -63,6 +63,7 @@ def project_gaussians(
     near: float = 0.01,
     far: float = 1e10,
     antialiased: bool = False,
+    opacities: jnp.ndarray | None = None,
 ) -> Projected:
     """Project N gaussians through one camera (OpenCV convention, w2c viewmat 4x4).
 
@@ -145,15 +146,30 @@ def project_gaussians(
 
     means2d = jnp.stack([fx * x * inv_z + cx, fy * y * inv_z + cy], axis=-1)
 
-    # Screen radius: 3 sigma of the major axis.
+    # Screen radius of the major axis. With a known (post-sigmoid) opacity the
+    # exact visibility cutoff alpha >= 1/255 gives k = sqrt(2 ln(255 op)) sigma
+    # — smaller than the classic 3 sigma for op < 0.35, which shrinks the pair
+    # set and per-tile work substantially (most of a trained scene is low-
+    # opacity, and opacity resets drop everything to 0.01). Capped at 3 sigma
+    # to match the classic extent for opaque gaussians.
     mid = 0.5 * (a + c)
     lambda1 = mid + jnp.sqrt(jnp.maximum(mid * mid - det, 0.0))
-    radius = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lambda1, 0.0)))
+    if opacities is not None:
+        k = jnp.sqrt(jnp.maximum(
+            2.0 * jnp.log(jnp.maximum(opacities * 255.0, 1e-6)), 0.0))
+        k = jnp.minimum(k, 3.0)
+        visible_op = opacities * 255.0 > 1.0
+    else:
+        k = 3.0
+        visible_op = True
+    radius = jnp.ceil(k * jnp.sqrt(jnp.maximum(lambda1, 0.0)))
 
-    # Cull: behind camera, out of depth range, or fully off-screen.
+    # Cull: behind camera, out of depth range, invisible, or fully off-screen.
     inside = (
         (z > near)
         & (z < far)
+        & visible_op
+        & (radius > 0)
         & (means2d[:, 0] + radius > 0)
         & (means2d[:, 0] - radius < width)
         & (means2d[:, 1] + radius > 0)

@@ -67,23 +67,36 @@ def tile_gaussians(
     differentiable feature arrays ever happens, so no gradient ever needs a
     scatter. Two-tier pair generation keeps the sort small: almost all gaussians
     span at most 2x2 tiles (4 candidate pairs); only a capped set of large ones
-    get the full MAX_COVER grid. Keys pack (tile_id << 20 | depth_rank) into one
+    get the full MAX_COVER grid. Keys pack (tile_id << shift | depth_rank) into one
     uint32 so a single u32 sort yields per-tile depth order directly.
     """
     n = means2d.shape[0]
     tx = _ceil_div(width, tile_size)
     ty = _ceil_div(height, tile_size)
     t_total = tx * ty
-    assert t_total < (1 << 12), "tile binning packs tile id into 12 bits"
+    if t_total >= (1 << 16):
+        from tpu_splat.core.errors import PipelineError
+
+        raise PipelineError(
+            765,
+            f"render {width}x{height} has {t_total} tiles (max 65535); "
+            f"increase the training downscale factor",
+        )
+    # Adaptive key split: tile id takes exactly the bits it needs (sentinel
+    # value t_total included), depth rank gets the rest of the u32. A 720p
+    # render keeps 20 depth bits; 4K still fits with 17.
+    tile_bits = max(1, t_total.bit_length())
+    shift = 32 - tile_bits
 
     valid = radii > 0
-    # Monotonic 20-bit depth key: for positive floats the IEEE bit pattern is
+    # Monotonic depth key: for positive floats the IEEE bit pattern is
     # order-preserving, so the top bits of the depth ARE its sort rank — no
-    # depth sort needed at all (ties at the 4096-bucket level are harmless).
+    # depth sort needed at all (ties below the rank granularity keep pair
+    # order via the stable sort; order at near-equal depth is arbitrary).
     depth_bits = jax.lax.bitcast_convert_type(
         jnp.maximum(depths, 1e-20).astype(jnp.float32), jnp.uint32
     )
-    rank_u = depth_bits >> 12  # 20 bits
+    rank_u = depth_bits >> tile_bits
 
     # Tile-space bbox (inclusive), original index space.
     x0 = jnp.clip(jnp.floor((means2d[:, 0] - radii) / tile_size), 0, tx - 1).astype(jnp.int32)
@@ -93,7 +106,7 @@ def tile_gaussians(
     big = valid & ((x1 - x0 > 1) | (y1 - y0 > 1))
     small = valid & ~big
 
-    sentinel = jnp.uint32(t_total) << 20
+    sentinel = jnp.uint32(t_total) << shift
 
     # Tier 1: 2x2 candidate grid for every gaussian.
     dx1 = jnp.arange(4, dtype=jnp.int32) % 2
@@ -102,7 +115,7 @@ def tile_gaussians(
     py1 = y0[:, None] + dy1[None, :]
     ok1 = small[:, None] & (px1 <= x1[:, None]) & (py1 <= y1[:, None])
     tile1 = (py1 * tx + px1).astype(jnp.uint32)
-    keys1 = jnp.where(ok1, (tile1 << 20) | rank_u[:, None],
+    keys1 = jnp.where(ok1, (tile1 << shift) | rank_u[:, None],
                       sentinel | rank_u[:, None]).reshape(-1)
 
     # Tier 2: full coverage grid for a capped set of large gaussians.
@@ -121,15 +134,22 @@ def tile_gaussians(
     )
     rank_big = rank_u[big_order]
     tile2 = (py2 * tx + px2).astype(jnp.uint32)
-    keys2 = jnp.where(ok2, (tile2 << 20) | rank_big[:, None],
+    keys2 = jnp.where(ok2, (tile2 << shift) | rank_big[:, None],
                       sentinel | rank_big[:, None]).reshape(-1)
 
     keys = jnp.concatenate([keys1, keys2])
     np_total = keys.shape[0]
-    n_small_pairs = n * 4
     pair_ids = jnp.arange(np_total, dtype=jnp.int32)
-    sorted_keys, sorted_pid = jax.lax.sort_key_val(keys, pair_ids)
-    sorted_tile = (sorted_keys >> 20).astype(jnp.int32)
+    # Gaussian id travels through the sort as a second payload — mapping pair
+    # ids back through big_order afterwards would be 1.84M scalar gathers.
+    gauss_ids = jnp.concatenate([
+        jnp.repeat(jnp.arange(n, dtype=jnp.int32), 4),
+        jnp.repeat(big_order.astype(jnp.int32), m2),
+    ])
+    sorted_keys, sorted_pid, sorted_gid = jax.lax.sort(
+        (keys, pair_ids, gauss_ids), num_keys=1
+    )
+    sorted_tile = (sorted_keys >> shift).astype(jnp.int32)
 
     starts = jnp.searchsorted(sorted_tile, jnp.arange(t_total + 1, dtype=jnp.int32))
     tile_start = starts[:-1]  # (T,)
@@ -138,29 +158,34 @@ def tile_gaussians(
     k = jnp.arange(max_per_tile, dtype=jnp.int32)
     pos = tile_start[:, None] + k[None, :]  # (T, K)
     gvalid = pos < tile_end[:, None]
-    pos = jnp.minimum(pos, np_total - 1)
-    # pair id -> ORIGINAL gaussian id (tier1: pid//4; tier2: big_order[pid'//64])
-    pid = sorted_pid[pos]
-    m2_ = MAX_COVER_X * MAX_COVER_Y
-    gidx = jnp.where(
-        pid < n_small_pairs,
-        pid >> 2,
-        big_order[jnp.clip((pid - n_small_pairs) // m2_, 0, big_order.shape[0] - 1)],
+    # Each tile's gaussian ids are a CONTIGUOUS run of the sorted array, so
+    # read them as T dynamic slices of length K (one gather of 2KB rows)
+    # instead of sorted_gid[pos] (T*K scalar gathers — ~15ms slower at
+    # production sizes). K sentinel pads keep every slice in bounds.
+    sorted_gid_pad = jnp.concatenate(
+        [sorted_gid, jnp.zeros((max_per_tile,), jnp.int32)]
     )
+    gidx = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(sorted_gid_pad, (s,), (max_per_tile,))
+    )(tile_start)
 
     # Inverse mapping pair -> packed slot, for the gather-based gradient (the
     # scatter-add transpose of the packing gather is ~10x slower on TPU than
-    # one extra sort + gathers).
-    _, pos_of_pair = jax.lax.sort_key_val(sorted_pid, pair_ids)
-    pair_tile = (keys >> 20).astype(jnp.int32)
-    in_range = pair_tile < t_total
-    safe_tile = jnp.minimum(pair_tile, t_total - 1)
-    k_in_tile = pos_of_pair - tile_start[safe_tile]
-    slot = jnp.where(
-        in_range & (k_in_tile < max_per_tile),
-        safe_tile * max_per_tile + k_in_tile,
+    # one extra sort + gathers). Each sorted position's slot is its offset
+    # from the start of its tile's run — a run-start cummax instead of a
+    # tile_start[] table gather (2.6M scalar gathers cost ~10ms); the inverse
+    # sort then carries the slot as its payload, so no gather-by-position.
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), bool), sorted_tile[1:] != sorted_tile[:-1]]
+    )
+    run_start = jax.lax.cummax(jnp.where(is_start, pair_ids, 0))
+    k_in_tile = pair_ids - run_start
+    slot_sorted = jnp.where(
+        (sorted_tile < t_total) & (k_in_tile < max_per_tile),
+        sorted_tile * max_per_tile + k_in_tile,
         t_total * max_per_tile,
     )
+    _, slot = jax.lax.sort_key_val(sorted_pid, slot_sorted)
     slots_small = slot[: n * 4].reshape(n, 4)
     slots_big = slot[n * 4 :].reshape(-1, m2)
     return gidx, gvalid, slots_small, slots_big, big_order
@@ -191,19 +216,35 @@ def _pack_gather_fwd(feat, gidx_ext, slots_small, slots_big, big_order, tk):
 def _pack_gather_bwd(tk, res, d_packed):
     slots_small, slots_big, big_order, n = res
     c = d_packed.shape[0]
-    # row-major gathers are the fast path on TPU; the transpose fuses into them
-    d_rows = jnp.concatenate(
-        [d_packed.reshape(c, tk).T, jnp.zeros((1, c), d_packed.dtype)], axis=0
-    )
-    m_small = slots_small.shape[1]
-    m_big = slots_big.shape[1]
-    d_feat = jnp.sum(
-        d_rows[slots_small.reshape(-1)].reshape(n, m_small, c), axis=1
-    )
-    d_big = jnp.sum(
-        d_rows[slots_big.reshape(-1)].reshape(-1, m_big, c), axis=1
-    )
-    d_feat = d_feat.at[big_order].add(d_big)
+    tk8 = tk // 8
+    # A (TK, C) row table pads C=16 lanes to 128 in HBM (8x the bytes, ~54ms
+    # of wasted bandwidth at production sizes). Instead regroup 8 slots per
+    # 128-lane row (lane = channel*8 + slot%8): the transpose costs ~6ms and
+    # every gathered row is fully dense.
+    d8 = d_packed.reshape(c, tk8, 8).transpose(1, 0, 2).reshape(tk8, c * 8)
+    d8 = jnp.concatenate([d8, jnp.zeros((1, c * 8), d_packed.dtype)], axis=0)
+
+    # Reduce 128-lane rows to 16 channels with a lane mask + one constant MXU
+    # matmul — strided lane slices materialize 16x-padded intermediates and
+    # cost 4x more. precision="highest" keeps the routing exact in f32.
+    lane = jnp.arange(c * 8, dtype=jnp.int32)[None, :]
+    reduce_mat = (
+        (jnp.arange(c * 8)[:, None] // 8) == jnp.arange(c)[None, :]
+    ).astype(d_packed.dtype)
+
+    def route(slots):
+        flat = slots.reshape(-1)
+        rows = d8[flat >> 3]  # (M, 128); sentinel slot tk -> zero row tk8
+        mask = ((lane & 7) == (flat & 7)[:, None]).astype(d_packed.dtype)
+        m_per = slots.shape[1]
+        masked = (rows * mask).reshape(slots.shape[0], m_per * c * 8)
+        return jnp.dot(
+            masked, jnp.tile(reduce_mat, (m_per, 1)),
+            preferred_element_type=jnp.float32, precision="highest",
+        )
+
+    d_feat = route(slots_small)
+    d_feat = d_feat.at[big_order].add(route(slots_big))
     return d_feat, None, None, None, None
 
 

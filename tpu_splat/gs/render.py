@@ -41,9 +41,12 @@ def render_view(
 ) -> RasterOutput:
     """Render one view. `means2d_dummy` (N,2 zeros) lets callers extract
     screen-space gradients for densification; `alive` masks padded slots."""
+    op_sig = jax.nn.sigmoid(opacity_logits)
+    # opacity-aware extents (AA compensation only shrinks opacity, so the
+    # pre-compensation sigmoid is a valid conservative bound for the cutoff)
     proj = project_gaussians(
         means, log_scales, quats, viewmat, fx, fy, cx, cy, width, height,
-        antialiased=antialiased,
+        antialiased=antialiased, opacities=op_sig,
     )
     means2d = proj.means2d
     if means2d_dummy is not None:
@@ -54,7 +57,7 @@ def render_view(
     dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-12)
     colors = sh_to_color(sh0, shN, dirs, sh_degree)
 
-    opacities = jax.nn.sigmoid(opacity_logits) * proj.compensations
+    opacities = op_sig * proj.compensations
     radii = proj.radii
     if alive is not None:
         radii = jnp.where(alive, radii, 0.0)
