@@ -1,13 +1,26 @@
-"""Benchmark: 3DGS training throughput on one chip.
+"""Benchmark: the BASELINE.json metric set on one chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 
-The headline metric is training iterations/second/chip on a production-shaped
-workload: 512K-capacity splat state (400K alive), 1280x720 render, SH degree 3,
-full forward + backward + selective-free Adam update. Baseline: the reference
-stack (nerfstudio splatfacto / gsplat on the A10G of ml.g5.4xlarge) sustains
-roughly 27 it/s at comparable load (BASELINE.md fast-preset envelope: 5k steps
-inside a 20-30 min job that also does SfM; gsplat's published A10G throughput).
+Headline metric: 3DGS training iterations/second/chip on a production-shaped
+workload (512K-capacity splat state, 400K alive, 1280x720, SH degree 3, full
+forward + backward + Adam). `extra` carries the rest of the BASELINE.json
+metric: SfM throughput (images/sec through TPU feature extraction + MXU
+matching), a fixed-seed mini ingest-to-splat wall-clock, and its held-out PSNR
+— tracked round over round.
+
+Baseline derivation (vs_baseline divisor): the reference stack is nerfstudio
+splatfacto / gsplat on the A10G of ml.g5.4xlarge. Two anchors bracket it:
+(a) the reference's own published wall-clock envelopes (BASELINE.md: fast
+preset 5k steps inside 20-30 min incl. SfM; medium 15k inside 45-90 min)
+imply ~5-6 effective it/s at its default loads; (b) gsplat's published
+throughput under ideal conditions on comparable silicon is ~25-30 it/s at
+~0.5M gaussians / 1MP. We take 15 it/s — the midpoint — as the A10G baseline
+for this synthetic workload. The ">= 2x A10G wall-clock" target therefore
+means >= 30 it/s here.
+
+Timing: steps are chained inside one jit via lax.scan and materialized once —
+`block_until_ready` does not reliably block on the axon tunnel (CLAUDE.md).
 """
 
 import json
@@ -17,17 +30,42 @@ import time
 
 import numpy as np
 
+BASELINE_A10G_ITS = 15.0
 
-def main():
+
+def ring_views(n_views, width, height, rng, radius=4.5, fov_scale=0.85):
+    import jax.numpy as jnp
+
+    viewmats, intrins, images = [], [], []
+    for ang in np.linspace(0, 2 * np.pi, n_views, endpoint=False):
+        eye = np.array([radius * np.cos(ang), 0.8, radius * np.sin(ang)])
+        z = -eye / np.linalg.norm(eye)
+        up = np.array([0.0, -1.0, 0.0])
+        x = np.cross(up, z); x /= np.linalg.norm(x)
+        y = np.cross(z, x)
+        w2c = np.eye(4, dtype=np.float32)
+        w2c[:3, :3] = np.stack([x, y, z])
+        w2c[:3, 3] = -w2c[:3, :3] @ eye
+        viewmats.append(w2c)
+        intrins.append([width * fov_scale, width * fov_scale,
+                        width / 2, height / 2])
+        images.append(rng.uniform(0, 1, (height, width, 3)).astype(np.float32))
+    return (jnp.asarray(np.stack(viewmats)),
+            jnp.asarray(np.array(intrins, np.float32)),
+            jnp.asarray(np.stack(images)))
+
+
+def bench_train_throughput() -> float:
+    """it/s on the 512K/720p/SH3 workload."""
     import jax
     import jax.numpy as jnp
 
-    from tpu_splat.gs.optim import adam_init, adam_update
+    from tpu_splat.gs.optim import adam_init
     from tpu_splat.gs.strategy import densify_state_init
     from tpu_splat.gs.trainer import TrainConfig, train_step
 
     rng = np.random.default_rng(0)
-    capacity = 1 << 19  # 512K slots
+    capacity = 1 << 19
     n_alive = 400_000
     width, height = 1280, 720
 
@@ -39,7 +77,8 @@ def main():
             np.log(rng.uniform(0.005, 0.03, (capacity, 3))), jnp.float32
         ),
         "quats": jnp.asarray(
-            np.concatenate([np.ones((capacity, 1)), 0.1 * rng.normal(size=(capacity, 3))], 1),
+            np.concatenate([np.ones((capacity, 1)),
+                            0.1 * rng.normal(size=(capacity, 3))], 1),
             jnp.float32,
         ),
         "opacities": jnp.asarray(rng.normal(0.0, 1.0, (capacity,)), jnp.float32),
@@ -47,36 +86,15 @@ def main():
         "shN": jnp.asarray(rng.normal(0, 0.05, (capacity, 15, 3)), jnp.float32),
         "alive": jnp.asarray(alive),
     }
-    # camera ring
     n_views = 8
-    viewmats, intrins, images = [], [], []
-    for ang in np.linspace(0, 2 * np.pi, n_views, endpoint=False):
-        eye = np.array([4.5 * np.cos(ang), 0.8, 4.5 * np.sin(ang)])
-        z = -eye / np.linalg.norm(eye)
-        up = np.array([0.0, -1.0, 0.0])
-        x = np.cross(up, z); x /= np.linalg.norm(x)
-        y = np.cross(z, x)
-        w2c = np.eye(4, dtype=np.float32)
-        w2c[:3, :3] = np.stack([x, y, z])
-        w2c[:3, 3] = -w2c[:3, :3] @ eye
-        viewmats.append(w2c)
-        intrins.append([width * 0.85, width * 0.85, width / 2, height / 2])
-        images.append(rng.uniform(0, 1, (height, width, 3)).astype(np.float32))
-    viewmats = jnp.asarray(np.stack(viewmats))
-    intrins = jnp.asarray(np.array(intrins, np.float32))
-    images = jnp.asarray(np.stack(images))
+    viewmats, intrins, images = ring_views(n_views, width, height, rng)
 
-    cfg = TrainConfig(max_steps=30000, sh_degree=3,
-                      random_background=False)
+    cfg = TrainConfig(max_steps=30000, sh_degree=3, random_background=False)
     adam = adam_init(params)
     dstate = densify_state_init(capacity)
     key = jax.random.PRNGKey(0)
-
     n_steps = int(os.environ.get("BENCH_STEPS", "30"))
 
-    # Chain all steps inside one jit (lax.scan) and materialize once: dispatch
-    # and host-sync overhead stay out of the measurement, and async-dispatch
-    # illusions can't inflate it.
     @jax.jit
     def run_n(params, adam, dstate):
         def body(carry, i):
@@ -96,20 +114,115 @@ def main():
     t0 = time.time()
     final_loss = float(run_n(params, adam, dstate))
     dt = time.time() - t0
-    its = n_steps / dt
     assert np.isfinite(final_loss)
+    return n_steps / dt
 
-    # Baseline: gsplat/splatfacto on the reference's A10G (ml.g5.4xlarge) at a
-    # comparable load (~0.5M gaussians, ~1MP, SH3) sustains roughly 15 it/s
-    # (derived from the reference's published wall-clock envelopes,
-    # BASELINE.md: 5k-30k steps inside 20min-4h jobs, and gsplat's published
-    # throughput scaled to A10G).
-    baseline_a10g_its = 15.0
+
+def bench_sfm_throughput() -> float:
+    """images/sec through TPU feature extraction + pairwise MXU matching —
+    the SfM hot path (the colmap feature_extractor + matcher capability)."""
+    from tpu_splat.sfm.features import FeatureConfig, extract_features
+    from tpu_splat.sfm.matching import match_descriptors
+
+    rng = np.random.default_rng(1)
+    n_imgs = 24
+    size = 640
+    # structured noise so the detector finds real extrema
+    base = rng.uniform(0, 1, (size // 8, size // 8)).astype(np.float32)
+    import cv2
+    import jax.numpy as jnp
+
+    images = np.stack([
+        np.clip(
+            cv2.resize(np.roll(base, i, axis=1), (size, size),
+                       interpolation=cv2.INTER_CUBIC)
+            + 0.05 * rng.standard_normal((size, size)), 0, 1,
+        ).astype(np.float32)
+        for i in range(n_imgs)
+    ])
+
+    fcfg = FeatureConfig(max_features=2048)
+    t0 = time.time()
+    feats = [extract_features(jnp.asarray(img), fcfg, size, size)
+             for img in images]
+    total = 0.0
+    for i in range(n_imgs - 1):
+        for j in range(i + 1, min(i + 4, n_imgs)):
+            m = match_descriptors(feats[i].descriptor, feats[i].valid,
+                                  feats[j].descriptor, feats[j].valid)
+            total += float(jnp.sum(m.valid))  # host sync per pair
+    dt = time.time() - t0
+    assert total > 0, "matcher produced zero matches on the synthetic set"
+    return n_imgs / dt
+
+
+def bench_mini_pipeline() -> dict:
+    """Fixed-seed mini ingest-to-splat: 12 rendered views, SfM + 400-step
+    training, held-out-protocol PSNR. Small by design — a stable round-over-
+    round quality/latency tracker, not a preset replica."""
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from tests.test_sfm_e2e import make_textured_scene, ring_cameras
+    from tpu_splat.core.types import Cameras
+    from tpu_splat.gs.pipeline import train_splat
+    from tpu_splat.gs.render import render_cloud
+    from tpu_splat.sfm.features import FeatureConfig
+    from tpu_splat.sfm.mapper import MapperConfig, run_sfm
+
+    rng = np.random.default_rng(5)
+    W = H = 160
+    FX = 140.0
+    n = 12
+    cloud = make_textured_scene(rng)
+    viewmats = ring_cameras(n_views=n)
+    cams = Cameras(
+        camtoworlds=jnp.asarray(np.linalg.inv(viewmats)),
+        fx=jnp.full((n,), FX), fy=jnp.full((n,), FX),
+        cx=jnp.full((n,), W / 2), cy=jnp.full((n,), H / 2),
+        distortion=jnp.zeros((n, 4)), width=W, height=H,
+    )
+    images = np.stack([
+        np.asarray(render_cloud(cloud, cams, i, background=jnp.full(3, 0.7),
+                                max_per_tile=256).color)
+        for i in range(n)
+    ])
+    t0 = time.time()
+    cfg = MapperConfig(
+        feature=FeatureConfig(max_features=1024, num_octaves=3,
+                              contrast_threshold=0.006, upsample_first=True),
+        matching_method="exhaustive", ratio=0.9, min_pair_inliers=20,
+        ba_every=3,
+    )
+    scene = run_sfm(images, cfg, fx=FX, fy=FX, cx=W / 2, cy=H / 2)
+    reg = np.asarray(scene.registered)
+    splat, metrics = train_splat(scene, images[reg], max_steps=400,
+                                 downscale_factor=1)
+    wall = time.time() - t0
+    return {"ingest_to_splat_s": round(wall, 1),
+            "psnr": round(metrics["psnr"], 2),
+            "registered": int(reg.sum())}
+
+
+def main():
+    its = bench_train_throughput()
+    extra = {}
+    if os.environ.get("BENCH_TRAIN_ONLY", "0") != "1":
+        try:
+            extra["sfm_images_per_sec"] = round(bench_sfm_throughput(), 2)
+        except Exception as e:  # never let a sub-bench kill the headline
+            extra["sfm_images_per_sec"] = f"error: {e}"
+        try:
+            extra.update(bench_mini_pipeline())
+        except Exception as e:
+            extra["mini_pipeline"] = f"error: {e}"
+
     print(json.dumps({
         "metric": "3dgs_train_iters_per_sec_per_chip",
         "value": round(its, 2),
         "unit": "it/s (512K splats, 1280x720, SH3, fwd+bwd+adam)",
-        "vs_baseline": round(its / baseline_a10g_its, 3),
+        "vs_baseline": round(its / BASELINE_A10G_ITS, 3),
+        "extra": extra,
     }))
 
 

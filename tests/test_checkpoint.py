@@ -36,6 +36,32 @@ def test_checkpoint_roundtrip(synthetic_scene, tmp_path):
     assert tr2.step == step_at_save + 5
 
 
+def test_resume_across_capacity_growth(synthetic_scene, tmp_path):
+    """A checkpoint saved after grow_capacity restores into a fresh trainer
+    initialized at the original (smaller) capacity."""
+    from tpu_splat.gs.params import grow_capacity, grow_tree
+    from tpu_splat.gs.optim import AdamState
+    from tpu_splat.gs.strategy import densify_state_init
+
+    tr = make_trainer(synthetic_scene, small_cfg())
+    tr.run(10)
+    tr.params = grow_capacity(tr.params, 512)
+    tr.adam = AdamState(mu=grow_tree(tr.adam.mu, 512),
+                        nu=grow_tree(tr.adam.nu, 512), count=tr.adam.count)
+    tr.dstate = densify_state_init(512)
+    tr.run(5)
+    tr.save_checkpoint(str(tmp_path))
+
+    tr2 = make_trainer(synthetic_scene, small_cfg())  # capacity 256 again
+    tr2.load_checkpoint(str(tmp_path))
+    assert tr2.params["means"].shape[0] == 512
+    assert tr2.step == 15
+    np.testing.assert_array_equal(np.asarray(tr2.params["means"]),
+                                  np.asarray(tr.params["means"]))
+    tr2.run(5)
+    assert tr2.step == 20
+
+
 def test_periodic_checkpointing(synthetic_scene, tmp_path):
     tr = make_trainer(synthetic_scene, small_cfg(checkpoint_every=10))
     tr.checkpoint_dir = str(tmp_path)

@@ -4,6 +4,7 @@ Usage:
   tpu-splat run job.json
   tpu-splat run --input capture.mp4 --output out/ --max-steps 7000 --model splatfacto
   tpu-splat convert splat.ply            # .ply <-> .spz via the native codec
+  tpu-splat serve out/                   # web console + in-browser viewer
   tpu-splat status out/ <uuid>           # job store lookup
 
 The job-JSON schema matches the reference toolbox (generate_splat.py:48-96), so
@@ -90,6 +91,14 @@ def cmd_convert(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    from tpu_splat.web.server import serve
+
+    serve(args.output, host=args.host, port=args.port,
+          open_browser=not args.no_browser)
+    return 0
+
+
 def cmd_status(args) -> int:
     from tpu_splat.pipeline.runner import JobStore
 
@@ -116,6 +125,16 @@ def main(argv=None) -> int:
     pc = sub.add_parser("convert", help="convert .ply <-> .spz (native codec)")
     pc.add_argument("input")
     pc.set_defaults(fn=cmd_convert)
+
+    pv = sub.add_parser(
+        "serve", help="web console + splat viewer for an output directory"
+    )
+    pv.add_argument("output", nargs="?", default="output",
+                    help="output directory (job store root)")
+    pv.add_argument("--host", default="127.0.0.1")
+    pv.add_argument("--port", type=int, default=8085)
+    pv.add_argument("--no-browser", action="store_true")
+    pv.set_defaults(fn=cmd_serve)
 
     ps = sub.add_parser("status", help="look up job status in the job store")
     ps.add_argument("output", help="output directory used by the job")

@@ -236,6 +236,11 @@ def job_config_from_json(payload: dict | str) -> JobConfig:
             optimize_sequential_frame_order=_as_bool(
                 sph.get("optimizeSequentialFrameOrder"), True
             ),
+            # config.json-only knobs in the reference (SPHERICAL_USE_OVAL_NODES/
+            # ANGLED_UP/DOWN); accepted here as optional job-JSON keys
+            use_oval_nodes=_as_bool(sph.get("useOvalNodes"), False),
+            angled_up_views=_as_bool(sph.get("angledUpViews"), False),
+            angled_down_views=_as_bool(sph.get("angledDownViews"), False),
         ),
         segmentation=SegmentationConfig(
             remove_background=_as_bool(seg.get("removeBackground"), False),
@@ -297,6 +302,9 @@ def job_config_to_json(cfg: JobConfig) -> dict:
             "enable": cfg.spherical_camera.enable,
             "cubeFacesToRemove": cfg.spherical_camera.cube_faces_to_remove,
             "optimizeSequentialFrameOrder": cfg.spherical_camera.optimize_sequential_frame_order,
+            "useOvalNodes": cfg.spherical_camera.use_oval_nodes,
+            "angledUpViews": cfg.spherical_camera.angled_up_views,
+            "angledDownViews": cfg.spherical_camera.angled_down_views,
         },
         "segmentation": {
             "removeBackground": cfg.segmentation.remove_background,

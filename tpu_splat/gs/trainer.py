@@ -399,16 +399,33 @@ class Trainer:
 
     def save_checkpoint(self, directory: str):
         """Write an orbax checkpoint at the current step (resumable)."""
+        import json
+
         import orbax.checkpoint as ocp
 
         path = os.path.abspath(os.path.join(directory, f"step_{self.step:08d}"))
         ckptr = ocp.StandardCheckpointer()
         ckptr.save(path, self._sanitize(self._ckpt_state()), force=True)
         ckptr.wait_until_finished()
+        # Sidecar metadata: densification grows capacity mid-run, so a restore
+        # must know the saved shapes before building the orbax template.
+        meta_path = os.path.join(os.path.dirname(path), f"meta_{self.step:08d}.json")
+        with open(meta_path, "w") as f:
+            json.dump({
+                "capacity": int(self.params["means"].shape[0]),
+                "n_views": int(self.cam_deltas.shape[0]),
+                "step": self.step,
+            }, f)
         self.log(f"checkpoint saved: {path}")
 
     def load_checkpoint(self, directory: str, step: Optional[int] = None):
-        """Restore the latest (or given-step) checkpoint and resume from it."""
+        """Restore the latest (or given-step) checkpoint and resume from it.
+
+        Handles capacity drift: if the checkpoint was saved after capacity
+        growth, the live state is grown to match before restoring; a larger
+        live capacity than the checkpoint is rejected (resume from scratch)."""
+        import json
+
         import orbax.checkpoint as ocp
 
         root = os.path.abspath(directory)
@@ -421,6 +438,32 @@ class Trainer:
                 raise FileNotFoundError(f"no checkpoints under {root}")
             step = steps[-1]
         path = os.path.join(root, f"step_{step:08d}")
+        meta_path = os.path.join(root, f"meta_{step:08d}.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+            saved_cap = int(meta["capacity"])
+            if int(meta["n_views"]) != int(self.cam_deltas.shape[0]):
+                raise ValueError(
+                    f"checkpoint has {meta['n_views']} views, trainer has "
+                    f"{self.cam_deltas.shape[0]} — input set changed, cannot resume"
+                )
+            cap = self.params["means"].shape[0]
+            if saved_cap > cap:
+                self.params = grow_capacity(self.params, saved_cap)
+                from tpu_splat.gs.params import grow_tree
+
+                self.adam = AdamState(
+                    mu=grow_tree(self.adam.mu, saved_cap),
+                    nu=grow_tree(self.adam.nu, saved_cap),
+                    count=self.adam.count,
+                )
+                self.dstate = densify_state_init(saved_cap)
+            elif saved_cap < cap:
+                raise ValueError(
+                    f"checkpoint capacity {saved_cap} < trainer capacity {cap} "
+                    f"— initialization changed, cannot resume"
+                )
         ckptr = ocp.StandardCheckpointer()
         template = self._ckpt_state()
         restored = ckptr.restore(path, self._sanitize(template))

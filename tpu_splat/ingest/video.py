@@ -125,9 +125,28 @@ def composite_alpha(img_bgra: np.ndarray, bg: int = 0) -> np.ndarray:
     return out.astype(img_bgra.dtype)
 
 
+# Pose-prior aux files recognized inside capture archives: NeRFCapture-style
+# transforms(-in).json and COLMAP text/binary model files under sparse/
+# (extract_poses_imgs.py:118 unpacks these alongside the images).
+_AUX_NAMES = ("transforms.json", "transforms-in.json")
+_COLMAP_NAMES = ("cameras.txt", "images.txt", "points3d.txt",
+                 "cameras.bin", "images.bin", "points3d.bin")
+
+
+def _is_depth_image(relpath: str) -> bool:
+    """NeRFCapture zips carry per-frame depth maps; the reference separates
+    them out of the image set (extract_poses_imgs.py separate_depth_images:87)."""
+    low = relpath.lower()
+    return "depth" in os.path.basename(low) or low.split("/")[0] == "depth"
+
+
 def extract_zip(zip_path: str, out_dir: str) -> List[str]:
-    """Unpack a .zip of images; returns extracted image paths. Raises PipelineError
-    790 if no supported images are inside (main.py:1925-1943 parity)."""
+    """Unpack a .zip capture; returns extracted color-image paths.
+
+    Also extracts pose-prior aux files (transforms.json -> transforms-in.json,
+    COLMAP sparse/ model files) preserving layout, and separates depth images
+    into <out_dir>/depth/. Raises PipelineError 790 if no supported images are
+    inside (main.py:1925-1943 parity)."""
     import zipfile
 
     from tpu_splat.core.errors import PipelineError
@@ -139,12 +158,28 @@ def extract_zip(zip_path: str, out_dir: str) -> List[str]:
             if info.is_dir():
                 continue
             base = os.path.basename(info.filename)
-            if base.startswith("._") or not base.lower().endswith(IMAGE_EXTENSIONS):
+            if base.startswith("._"):
                 continue
-            target = os.path.join(out_dir, base)
+            low = base.lower()
+            if low in _AUX_NAMES:
+                # reference renames transforms.json -> transforms-in.json
+                target = os.path.join(out_dir, "transforms-in.json")
+            elif low in _COLMAP_NAMES:
+                sub = os.path.dirname(info.filename)
+                sub = sub[sub.find("sparse"):] if "sparse" in sub else "sparse/0"
+                os.makedirs(os.path.join(out_dir, sub), exist_ok=True)
+                target = os.path.join(out_dir, sub, base)
+            elif low.endswith(IMAGE_EXTENSIONS):
+                if _is_depth_image(info.filename):
+                    os.makedirs(os.path.join(out_dir, "depth"), exist_ok=True)
+                    target = os.path.join(out_dir, "depth", base)
+                else:
+                    target = os.path.join(out_dir, base)
+                    kept.append(target)
+            else:
+                continue
             with zf.open(info) as src, open(target, "wb") as dst:
                 dst.write(src.read())
-            kept.append(target)
     if not kept:
         raise PipelineError(790)
     return sorted(kept)

@@ -60,6 +60,7 @@ class DistributedTrainer:
         self.dstate = densify_state_init(params["means"].shape[0])
         self._step_fn = None
         self._sh_deg = -1
+        self.checkpoint_dir: Optional[str] = None
 
     def _get_step_fn(self):
         deg = min(self.step // self.cfg.sh_degree_interval, self.cfg.sh_degree)
@@ -88,6 +89,9 @@ class DistributedTrainer:
             )
             self.step += 1
             self._maybe_refine()
+            if (self.checkpoint_dir
+                    and self.step % cfg.checkpoint_every == 0):
+                self.save_checkpoint(self.checkpoint_dir)
             if self.step % cfg.eval_every == 0:
                 self.log(
                     f"step {self.step}: loss={float(metrics['loss']):.4f} "
@@ -135,6 +139,83 @@ class DistributedTrainer:
             count=adam.count,
         )
 
+    def host_params(self) -> Params:
+        return {k: jnp.asarray(jax.device_get(v)) for k, v in self.params.items()}
+
     def cloud(self):
-        host = {k: jnp.asarray(jax.device_get(v)) for k, v in self.params.items()}
-        return params_to_cloud(host)
+        return params_to_cloud(self.host_params())
+
+    # ---------- checkpointing (orbax; state gathered to host, resharded on
+    # restore — same layout as the single-chip Trainer minus camera deltas) ----
+
+    def _ckpt_state(self):
+        return {
+            "params": self.host_params(),
+            "adam_mu": {k: jnp.asarray(jax.device_get(v))
+                        for k, v in self.adam.mu.items()},
+            "adam_nu": {k: jnp.asarray(jax.device_get(v))
+                        for k, v in self.adam.nu.items()},
+            "adam_count": jnp.asarray(jax.device_get(self.adam.count)),
+            "dstate_grad": jnp.asarray(jax.device_get(self.dstate.grad_accum)),
+            "dstate_count": jnp.asarray(jax.device_get(self.dstate.count_accum)),
+            "step": jnp.asarray(self.step),
+            "key": jnp.asarray(jax.device_get(self.key)),
+        }
+
+    def save_checkpoint(self, directory: str):
+        import json
+        import os
+
+        import orbax.checkpoint as ocp
+
+        from tpu_splat.gs.trainer import Trainer
+
+        path = os.path.abspath(os.path.join(directory, f"step_{self.step:08d}"))
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path, Trainer._sanitize(self._ckpt_state()), force=True)
+        ckptr.wait_until_finished()
+        with open(os.path.join(os.path.dirname(path),
+                               f"meta_{self.step:08d}.json"), "w") as f:
+            json.dump({"capacity": int(self.params["means"].shape[0]),
+                       "n_views": -1, "step": self.step}, f)
+        self.log(f"checkpoint saved: {path}")
+
+    def load_checkpoint(self, directory: str, step: Optional[int] = None):
+        import os
+
+        import orbax.checkpoint as ocp
+
+        from tpu_splat.gs.optim import AdamState
+        from tpu_splat.gs.strategy import DensifyState
+        from tpu_splat.gs.trainer import Trainer
+
+        root = os.path.abspath(directory)
+        if step is None:
+            steps = sorted(
+                int(d.split("_")[1]) for d in os.listdir(root)
+                if d.startswith("step_")
+            )
+            if not steps:
+                raise FileNotFoundError(f"no checkpoints under {root}")
+            step = steps[-1]
+        path = os.path.join(root, f"step_{step:08d}")
+        ckptr = ocp.StandardCheckpointer()
+        template = self._ckpt_state()
+        restored = ckptr.restore(path, Trainer._sanitize(template))
+        state = jax.tree.map(
+            lambda orig, new: orig if orig.size == 0 else new, template, restored
+        )
+        # orbax returns committed single-device arrays; detach to host so the
+        # resharded state places cleanly on the mesh
+        state = jax.tree.map(lambda a: jnp.asarray(np.asarray(a)), state)
+        self.params = shard_params(state["params"], self.mesh)
+        self.adam = AdamState(
+            mu=shard_params(state["adam_mu"], self.mesh),
+            nu=shard_params(state["adam_nu"], self.mesh),
+            count=state["adam_count"],
+        )
+        self.dstate = DensifyState(grad_accum=state["dstate_grad"],
+                                   count_accum=state["dstate_count"])
+        self.step = int(state["step"])
+        self.key = state["key"]
+        self.log(f"checkpoint restored: {path}")

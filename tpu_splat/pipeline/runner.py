@@ -117,8 +117,25 @@ def _register_components(pipe: Pipeline, cfg: JobConfig, out_dir: str):
         enabled=cfg.segmentation.remove_background,
     )
     pipe.create_component(
+        "Remove-Human-Subject", ComponentType.FILTER, _remove_human_subject, 745,
+        enabled=cfg.segmentation.remove_human_subject,
+    )
+    pipe.create_component(
         "Spherical-To-Perspective", ComponentType.TRANSFORM, _spherical, 735,
         enabled=cfg.spherical_camera.enable,
+    )
+    use_priors = (cfg.sfm.pose_priors.use_pose_prior_transform_json
+                  or cfg.sfm.pose_priors.use_pose_prior_colmap_model_files)
+    pipe.create_component(
+        "Process-Pose-Priors", ComponentType.TRANSFORM, _load_pose_priors, 725,
+        enabled=cfg.sfm.enable and use_priors,
+    )
+    # The reference undistorts for the multi-GPU / 3DGRUT / pose-prior paths
+    # (main.py:1155-1197); here distortion params only ever come from a prior
+    # COLMAP model, so the component is registered exactly when priors are on.
+    pipe.create_component(
+        "Image-Undistorter", ComponentType.TRANSFORM, _undistort, 755,
+        enabled=cfg.sfm.enable and use_priors,
     )
     pipe.create_component("SfM", ComponentType.TRANSFORM, _sfm, 755,
                           enabled=cfg.sfm.enable)
@@ -220,9 +237,13 @@ def _media_to_images(ctx: PipelineContext):
     elif kind == "zip":
         img_dir = os.path.join(ctx["out_dir"], "images_raw")
         extract_zip(ctx["input_path"], img_dir)
-        images, _ = load_images_from_dir(img_dir, resize_max_dim=resize)
+        images, names = load_images_from_dir(img_dir, resize_max_dim=resize)
+        ctx["raw_dir"] = img_dir
+        ctx["image_names"] = names
     else:
-        images, _ = load_images_from_dir(ctx["input_path"], resize_max_dim=resize)
+        images, names = load_images_from_dir(ctx["input_path"], resize_max_dim=resize)
+        ctx["raw_dir"] = ctx["input_path"]
+        ctx["image_names"] = names
     if len(images) < 3:
         raise PipelineError(705, f"need >= 3 frames, got {len(images)}")
     ctx["images"] = images
@@ -237,6 +258,8 @@ def _filter_blurry(ctx: PipelineContext):
     selected, idx = filter_blurry_images(images, target_count=target)
     ctx["images"] = selected
     ctx["frame_indices"] = idx
+    if ctx.get("image_names") is not None:
+        ctx["image_names"] = [ctx["image_names"][i] for i in idx]
 
 
 def _remove_background(ctx: PipelineContext):
@@ -250,6 +273,141 @@ def _remove_background(ctx: PipelineContext):
     )
     ctx["images"] = images
     ctx["masks"] = masks
+
+
+def _remove_human_subject(ctx: PipelineContext):
+    """Remove a human subject from every frame (remove_object_using_mask.py:28-169
+    + the SAM2 human-detection seeding, main.py:912-941): detect the person with
+    the person-segmentation matting stack, then keep the COMPLEMENT — training
+    masks mark the scene minus the subject."""
+    from tpu_splat.matting.remove import remove_background_batch
+
+    cfg: JobConfig = ctx["cfg"]
+    images = ctx.require("images")
+    _, person_masks = remove_background_batch(
+        images, model="u2net_human_seg",
+        threshold=cfg.segmentation.mask_threshold,
+    )
+    keep = (1.0 - person_masks).astype(np.float32)
+    if ctx.get("masks") is not None:
+        keep = keep * ctx["masks"]
+    ctx["images"] = (images * keep[..., None]).astype(np.float32)
+    ctx["masks"] = keep
+
+
+def _load_pose_priors(ctx: PipelineContext):
+    """Import prior camera poses (the ProcessPoseTransforms analog,
+    main.py:989-1009): either a NeRFCapture transforms(-in).json or an existing
+    COLMAP text model shipped inside the capture archive. Aligns poses to the
+    surviving image set by file name, normalizes translations, and records
+    intrinsics (+ distortion, for the undistorter)."""
+    from tpu_splat.sfm.pose_priors import load_transforms_json, normalize_poses
+
+    cfg: JobConfig = ctx["cfg"]
+    pp = cfg.sfm.pose_priors
+    raw_dir = ctx.get("raw_dir")
+    names = ctx.get("image_names")
+    if raw_dir is None or names is None:
+        raise PipelineError(
+            720, "pose priors require a .zip or image-directory input"
+        )
+    images = ctx.require("images")
+    h, w = images.shape[1:3]
+
+    if pp.use_pose_prior_transform_json:
+        path = os.path.join(raw_dir, "transforms-in.json")
+        if not os.path.exists(path):
+            path = os.path.join(raw_dir, "transforms.json")
+        if not os.path.exists(path):
+            raise PipelineError(725, f"no transforms(-in).json under {raw_dir}")
+        c2ws, intrin, frame_names = load_transforms_json(
+            path, source=pp.source_coordinate_name,
+            is_world_to_cam=pp.pose_is_world_to_cam,
+        )
+        pose_of = {os.path.basename(n): c2ws[i] for i, n in enumerate(frame_names)}
+        # json intrinsics are at capture resolution; frames may have been resized
+        sx = w / intrin["w"] if intrin["w"] else 1.0
+        sy = h / intrin["h"] if intrin["h"] else 1.0
+        fx = (intrin["fx"] or 0.9 * w) * sx
+        fy = (intrin["fy"] or fx) * sy
+        cx = (intrin["cx"] or w / 2 / sx) * sx
+        cy = (intrin["cy"] or h / 2 / sy) * sy
+        dist = np.zeros(4)
+    else:  # COLMAP text model files
+        from tpu_splat.sfm.colmap_io import qvec_to_rotmat, read_colmap_model
+
+        model_dir = None
+        for cand in ("sparse/0", "sparse", "colmap/sparse/0"):
+            d = os.path.join(raw_dir, cand)
+            if os.path.exists(os.path.join(d, "cameras.txt")):
+                model_dir = d
+                break
+        if model_dir is None:
+            raise PipelineError(725, f"no COLMAP text model under {raw_dir}")
+        cameras, img_map, _, _ = read_colmap_model(model_dir)
+        cam = cameras[sorted(cameras)[0]]
+        params = cam["params"]
+        model = cam["model"].upper()
+        if model == "SIMPLE_PINHOLE":
+            fx = fy = params[0]; cx, cy = params[1:3]; dist = np.zeros(4)
+        elif model == "PINHOLE":
+            fx, fy, cx, cy = params[:4]; dist = np.zeros(4)
+        elif model == "SIMPLE_RADIAL":
+            fx = fy = params[0]; cx, cy = params[1:3]
+            dist = np.array([params[3], 0.0, 0.0, 0.0])
+        elif model in ("OPENCV", "RADIAL"):
+            if model == "RADIAL":
+                fx = fy = params[0]; cx, cy = params[1:3]
+                dist = np.array([params[3], params[4], 0.0, 0.0])
+            else:
+                fx, fy, cx, cy = params[:4]
+                dist = np.array(params[4:8] + [0.0] * (8 - len(params)))[:4]
+        else:
+            raise PipelineError(700, f"unsupported camera model {model}")
+        sx = w / cam["width"] if cam["width"] else 1.0
+        sy = h / cam["height"] if cam["height"] else 1.0
+        fx *= sx; fy *= sy; cx *= sx; cy *= sy
+        pose_of = {}
+        for name, rec in img_map.items():
+            R = qvec_to_rotmat(rec["qvec"])
+            c2w = np.eye(4)
+            c2w[:3, :3] = R.T
+            c2w[:3, 3] = -R.T @ rec["tvec"]
+            pose_of[os.path.basename(name)] = c2w
+
+    have = np.array([n in pose_of for n in names])
+    if have.sum() < 3:
+        raise PipelineError(
+            725, f"only {int(have.sum())}/{len(names)} frames have prior poses"
+        )
+    keep_idx = np.flatnonzero(have)
+    ctx["images"] = images[keep_idx]
+    ctx["image_names"] = [names[i] for i in keep_idx]
+    if ctx.get("masks") is not None:
+        ctx["masks"] = ctx["masks"][keep_idx]
+    c2ws = np.stack([pose_of[names[i]] for i in keep_idx])
+    c2ws, _, _ = normalize_poses(c2ws)
+    ctx["prior_c2ws"] = c2ws
+    ctx["prior_intrin"] = (float(fx), float(fy), float(cx), float(cy))
+    ctx["prior_distortion"] = np.asarray(dist, np.float64)
+
+
+def _undistort(ctx: PipelineContext):
+    """Undistort frames to a pinhole model when the prior COLMAP model carries
+    distortion (the colmap image_undistorter analog, main.py:1161-1180). Runs
+    before feature extraction so everything downstream is pinhole."""
+    dist = ctx.get("prior_distortion")
+    if dist is None or not np.any(np.abs(dist) > 1e-12):
+        return  # pinhole already
+    from tpu_splat.sfm.undistort import undistort_batch
+
+    fx, fy, cx, cy = ctx["prior_intrin"]
+    ctx["images"] = np.asarray(
+        undistort_batch(ctx.require("images"), fx, fy, cx, cy,
+                        k1=float(dist[0]), k2=float(dist[1]),
+                        p1=float(dist[2]), p2=float(dist[3]))
+    )
+    ctx["prior_distortion"] = np.zeros(4)
 
 
 def _spherical(ctx: PipelineContext):
@@ -276,7 +434,17 @@ def _sfm(ctx: PipelineContext):
         exhaustive_max_images=cfg.sfm.exhaustive_matching_max_images,
     )
     try:
-        if cfg.sfm.software_name in ("glomap", "global"):
+        if ctx.get("prior_c2ws") is not None:
+            # fixed-pose triangulation (colmap point_triangulator analog,
+            # main.py:1090-1113) against the imported prior poses
+            from tpu_splat.sfm.pose_priors import sfm_with_pose_priors
+
+            fx, fy, cx, cy = ctx["prior_intrin"]
+            scene = sfm_with_pose_priors(
+                images, ctx["prior_c2ws"], fx, fy, cx, cy,
+                mapper_cfg=mcfg, log_fn=pipe_logger(ctx),
+            )
+        elif cfg.sfm.software_name in ("glomap", "global"):
             from tpu_splat.sfm.global_mapper import run_global_sfm
 
             scene = run_global_sfm(images, mcfg, log_fn=pipe_logger(ctx))
@@ -314,6 +482,16 @@ def _train(ctx: PipelineContext):
     from tpu_splat.gs.pipeline import train_splat
 
     cfg: JobConfig = ctx["cfg"]
+    # Multi-chip dispatch (the gsplat multi-GPU path, main.py:1317-1347):
+    # enableMultiGpu + >1 device -> data-parallel training over the mesh.
+    distributed = False
+    if cfg.training.enable_multi_gpu:
+        import jax
+
+        distributed = len(jax.devices()) > 1
+        if not distributed:
+            pipe_logger(ctx)("enableMultiGpu set but only one device present; "
+                             "training single-chip")
     cloud, metrics = train_splat(
         ctx.require("scene"),
         ctx.require("images"),
@@ -323,6 +501,7 @@ def _train(ctx: PipelineContext):
         masks=ctx.get("masks"),
         checkpoint_dir=os.path.join(ctx["out_dir"], "checkpoints"),
         resume=True,
+        distributed=distributed,
         log_fn=pipe_logger(ctx),
     )
     ctx["splat"] = cloud
@@ -339,20 +518,25 @@ def _export_ply(ctx: PipelineContext):
 
 def _export_spz(ctx: PipelineContext):
     """Delivery orientation dance (main.py:1479-1595): the .spz artifact is
-    rotated x:270,y:180 and mirrored across x for web viewers; the .ply keeps
-    reconstruction orientation."""
+    rotated x:270,y:180 and mirrored across x for web viewers; the delivered
+    .ply then gets the reference's post-SPZ chain (rotate x:180,y:180 +
+    mirror x applied to the pre-SPZ-oriented cloud, main.py:1554-1595), so
+    both artifacts match the reference deliverables byte-for-orientation."""
     from tpu_splat.export.transforms import mirror_splat, rotate_splat
 
     cfg: JobConfig = ctx["cfg"]
     cloud = ctx.require("splat")
+    out = os.path.join(ctx["out_dir"], "exports")
+    os.makedirs(out, exist_ok=True)
     if cfg.training.rotate_splat:
         cloud = rotate_splat(cloud, "x:270,y:180")
         cloud = mirror_splat(cloud, "x")
-    out = os.path.join(ctx["out_dir"], "exports")
-    os.makedirs(out, exist_ok=True)
     spz_path = os.path.join(out, "splat.spz")
     spz_codec.save_spz(cloud, spz_path)
     ctx.setdefault("artifacts", {})["spz"] = spz_path
+    if cfg.training.rotate_splat:
+        delivered = mirror_splat(rotate_splat(cloud, "x:180,y:180"), "x")
+        save_ply(delivered, os.path.join(out, "splat.ply"))
 
 
 def _estimate_scale(ctx: PipelineContext):
