@@ -198,9 +198,7 @@ def _backward_one(packed_ref, gout_ref, dpacked_ref, tstart_ref, b, tile_id,
         d_cc = jnp.sum(0.5 * dy * dy * dsigma, axis=1)
         gx = ca * dx + cb * dy
         gy = cc * dy + cb * dx
-        d_mx = jnp.sum(-gx * dsigma, axis=1) * -1.0  # d/dmx = -d/ddx
-        d_my = jnp.sum(-gy * dsigma, axis=1) * -1.0
-        # note: dsigma/ddx = gx, and ddx/dmx = -1 -> d_mx = -sum(gx*dsigma)
+        # dsigma/ddx = gx, and ddx/dmx = -1 -> d_mx = -sum(gx*dsigma)
         d_mx = -jnp.sum(gx * dsigma, axis=1)
         d_my = -jnp.sum(gy * dsigma, axis=1)
 

@@ -257,7 +257,18 @@ class Trainer:
         total = steps if steps is not None else cfg.max_steps
         rng = np.random.default_rng(42)
         t0 = time.time()
+        # Debug-flag profiling hook (SURVEY 5.1): TPU_SPLAT_PROFILE=<dir>
+        # captures an xplane trace of steps 20-40 viewable in TensorBoard/xprof.
+        profile_dir = os.environ.get("TPU_SPLAT_PROFILE", "")
+        prof_on = False
         for _ in range(total):
+            if profile_dir and self.step == 20 and not prof_on:
+                jax.profiler.start_trace(profile_dir)
+                prof_on = True
+            elif prof_on and self.step >= 40:
+                jax.profiler.stop_trace()
+                prof_on = False
+                self.log(f"profiler trace (steps 20-40) written to {profile_dir}")
             view = int(rng.integers(n_views))
             self.key, sub = jax.random.split(self.key)
             image = jnp.asarray(self.images[view])
@@ -298,6 +309,8 @@ class Trainer:
                     f"psnr={float(metrics['psnr']):.2f} alive={alive_n} "
                     f"({(self.step) / (time.time() - t0):.1f} it/s)"
                 )
+        if prof_on:  # run ended inside the trace window
+            jax.profiler.stop_trace()
         return self.params
 
     def _default_refine(self):

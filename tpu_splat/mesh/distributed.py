@@ -169,7 +169,7 @@ def make_distributed_train_step(
         metrics = {"loss": loss}
         return new_params_sh, new_mu, new_nu, new_count, grad_acc_sh, cnt_acc_sh, metrics
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     sharded = shard_map(
         step_body,
@@ -200,7 +200,7 @@ def make_distributed_train_step(
             P("gauss"),
             P(),
         ),
-        check_rep=False,
+        check_vma=False,
     )
 
     @jax.jit
