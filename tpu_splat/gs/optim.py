@@ -22,9 +22,20 @@ class AdamState(NamedTuple):
     count: jnp.ndarray  # scalar int32
 
 
+# SH-rest moments are stored in bf16: they are 45 of the 60 per-gaussian state
+# channels, the optimizer step is HBM-bandwidth-bound on TPU, and a 2^-8
+# relative quantization of the moment running averages is far below gradient
+# noise for the highest-frequency color coefficients. Math stays f32.
+_BF16_MOMENTS = ("shN",)
+
+
 def adam_init(params: Params, skip: tuple = ("alive",)) -> AdamState:
-    mu = {k: jnp.zeros_like(v) for k, v in params.items() if k not in skip}
-    nu = {k: jnp.zeros_like(v) for k, v in params.items() if k not in skip}
+    def zeros(k, v):
+        dt = jnp.bfloat16 if k in _BF16_MOMENTS else v.dtype
+        return jnp.zeros(v.shape, dt)
+
+    mu = {k: zeros(k, v) for k, v in params.items() if k not in skip}
+    nu = {k: zeros(k, v) for k, v in params.items() if k not in skip}
     return AdamState(mu=mu, nu=nu, count=jnp.zeros((), jnp.int32))
 
 
@@ -52,16 +63,16 @@ def adam_update(
     new_mu, new_nu = {}, {}
     for name in state.mu:
         g = grads[name]
-        mu = b1 * state.mu[name] + (1 - b1) * g
-        nu = b2 * state.nu[name] + (1 - b2) * (g * g)
+        mu = b1 * state.mu[name].astype(g.dtype) + (1 - b1) * g
+        nu = b2 * state.nu[name].astype(g.dtype) + (1 - b2) * (g * g)
         step = lrs[name] * (mu / bc1) / (jnp.sqrt(nu / bc2) + eps)
         if visible is not None:
             vis = visible.reshape((-1,) + (1,) * (g.ndim - 1))
-            mu = jnp.where(vis, mu, state.mu[name])
-            nu = jnp.where(vis, nu, state.nu[name])
+            mu = jnp.where(vis, mu, state.mu[name].astype(g.dtype))
+            nu = jnp.where(vis, nu, state.nu[name].astype(g.dtype))
             step = jnp.where(vis, step, 0.0)
-        new_mu[name] = mu
-        new_nu[name] = nu
+        new_mu[name] = mu.astype(state.mu[name].dtype)
+        new_nu[name] = nu.astype(state.nu[name].dtype)
         new_params[name] = params[name] - step
     return new_params, AdamState(mu=new_mu, nu=new_nu, count=count)
 

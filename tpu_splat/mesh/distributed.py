@@ -149,11 +149,11 @@ def make_distributed_train_step(
         new_mu, new_nu = {}, {}
         for name in mu_sh:
             g = pgrads_sh[name]
-            m = 0.9 * mu_sh[name] + 0.1 * g
-            v = 0.999 * nu_sh[name] + 0.001 * (g * g)
+            m = 0.9 * mu_sh[name].astype(g.dtype) + 0.1 * g
+            v = 0.999 * nu_sh[name].astype(g.dtype) + 0.001 * (g * g)
             stepv = lrs[name] * (m / bc1) / (jnp.sqrt(v / bc2) + 1e-8)
-            new_mu[name] = m
-            new_nu[name] = v
+            new_mu[name] = m.astype(mu_sh[name].dtype)
+            new_nu[name] = v.astype(nu_sh[name].dtype)
             new_params_sh[name] = params_sh[name] - stepv
 
         # densify stats on local shards
