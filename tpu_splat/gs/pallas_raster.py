@@ -6,10 +6,12 @@ is bandwidth-bound by an order of magnitude. These kernels keep each tile's
 gaussian block and running transmittance in VMEM:
 
 - forward: per-tile alpha compositing over depth-ordered gaussians with early
-  termination once the tile saturates (transmittance < 1e-4).
-- backward: the classic analytic 3DGS gradient — a forward transmittance
-  re-sweep storing per-chunk checkpoints in VMEM scratch, then a reverse sweep
-  accumulating dL/d(mean2d, conic, color, opacity) per gaussian.
+  termination once the tile saturates (transmittance < 1e-4); chunk-start
+  transmittances are written out as checkpoints.
+- backward: the classic analytic 3DGS gradient — a single reverse sweep
+  accumulating dL/d(mean2d, conic, color, opacity) per gaussian from the
+  forward's checkpoints; chunks the forward never reached are skipped (their
+  true gradient is exactly zero).
 
 Both operate on a packed (T, K, 16) tensor (built by one XLA gather); the
 custom_vjp returns d_packed so JAX's autodiff scatters gradients back to the
@@ -77,19 +79,22 @@ def _chunk_alpha(blk, px, py):
     return alpha, live
 
 
-def _forward_kernel(packed_ref, out_ref, *, k: int, tx: int, tile_size: int,
-                    tiles_per_block: int):
+def _forward_kernel(packed_ref, out_ref, tstart_ref, *, k: int, tx: int,
+                    tile_size: int, tiles_per_block: int):
     for b in range(tiles_per_block):
-        _forward_one(packed_ref, out_ref, b,
+        _forward_one(packed_ref, out_ref, tstart_ref, b,
                      pl.program_id(0) * tiles_per_block + b, k, tx, tile_size)
 
 
-def _forward_one(packed_ref, out_ref, b, tile_id, k, tx, tile_size):
+def _forward_one(packed_ref, out_ref, tstart_ref, b, tile_id, k, tx, tile_size):
     px, py = _pixel_coords(tile_id, tx, tile_size)
     n_chunks = k // CHUNK
 
     def body(carry):
         c, accum, depth_acc, trans = carry
+        # checkpoint the chunk-start transmittance: the backward pass reads it
+        # instead of re-sweeping, and uses tstart==0 to skip dead chunks
+        tstart_ref[b, pl.ds(pl.multiple_of(c * P, P), P)] = trans[0]
         blk = packed_ref[:, b, pl.ds(pl.multiple_of(c * CHUNK, CHUNK), CHUNK)].T  # (CHUNK, C_PACK)
         alpha, _ = _chunk_alpha(blk, px, py)
         one_minus = 1.0 - alpha  # in [1 - MAX_ALPHA, 1] -> log is finite
@@ -115,21 +120,27 @@ def _forward_one(packed_ref, out_ref, b, tile_id, k, tx, tile_size):
         jnp.zeros((1, P), jnp.float32),
         jnp.ones((1, P), jnp.float32),
     )
-    _, accum, depth_acc, trans = jax.lax.while_loop(cond, body, init)
+    c_end, accum, depth_acc, trans = jax.lax.while_loop(cond, body, init)
+    # chunks the early termination never reached: mark dead for the backward
+    for c in range(n_chunks):
+        @pl.when(c >= c_end)
+        def _():
+            tstart_ref[b, pl.ds(c * P, P)] = jnp.zeros((P,), jnp.float32)
+
     out_ref[b, 0:3, :] = accum
     out_ref[b, 3:4, :] = 1.0 - trans
     out_ref[b, 4:5, :] = depth_acc
     out_ref[b, 5:8, :] = jnp.zeros((3, P), jnp.float32)
 
 
-def _backward_kernel(packed_ref, gout_ref, dpacked_ref, tstart_ref,
+def _backward_kernel(packed_ref, gout_ref, tstart_ref, dpacked_ref,
                      *, k: int, tx: int, tile_size: int, tiles_per_block: int):
     for b in range(tiles_per_block):
-        _backward_one(packed_ref, gout_ref, dpacked_ref, tstart_ref, b,
+        _backward_one(packed_ref, gout_ref, tstart_ref, dpacked_ref, b,
                       pl.program_id(0) * tiles_per_block + b, k, tx, tile_size)
 
 
-def _backward_one(packed_ref, gout_ref, dpacked_ref, tstart_ref, b, tile_id,
+def _backward_one(packed_ref, gout_ref, tstart_ref, dpacked_ref, b, tile_id,
                   k, tx, tile_size):
     px, py = _pixel_coords(tile_id, tx, tile_size)
     n_chunks = k // CHUNK
@@ -137,97 +148,115 @@ def _backward_one(packed_ref, gout_ref, dpacked_ref, tstart_ref, b, tile_id,
     dC = gout_ref[b, 0:3, :]  # (3, P)
     dA = gout_ref[b, 3:4, :]  # (1, P)
     dD = gout_ref[b, 4:5, :]
+    # the forward's final transmittance: it wrote 1 - T_final to out[3], and
+    # its gradient arrives in gout[5] (see _composite_bwd)
+    t_final = gout_ref[b, 5:6, :]
 
-    # Pass 1: forward transmittance sweep, checkpoint T at each chunk start.
-    def fwd_body(c, trans):
-        tstart_ref[c, :] = trans[0]
-        blk = packed_ref[:, b, pl.ds(pl.multiple_of(c * CHUNK, CHUNK), CHUNK)].T  # (CHUNK, C_PACK)
-        alpha, _ = _chunk_alpha(blk, px, py)
-        return trans * jnp.exp(jnp.sum(jnp.log(1.0 - alpha), axis=0, keepdims=True))
-
-    t_final = jax.lax.fori_loop(0, n_chunks, fwd_body, jnp.ones((1, P), jnp.float32))
-
-    # Pass 2: reverse sweep with the suffix accumulator S_p = sum_{j>i} w_j e_j.
+    # Reverse sweep with the suffix accumulator S_p = sum_{j>i} w_j e_j, using
+    # the forward's chunk-start transmittance checkpoints — no re-sweep, and
+    # chunks the forward never reached (tstart == 0, early termination) are
+    # skipped entirely: their true gradient is exactly zero because they never
+    # contributed to the forward output.
     def bwd_body(i, suffix):
         c = n_chunks - 1 - i
-        blk = packed_ref[:, b, pl.ds(pl.multiple_of(c * CHUNK, CHUNK), CHUNK)].T  # (CHUNK, C_PACK)
-        alpha, live = _chunk_alpha(blk, px, py)
-        t_start = tstart_ref[c, :][None, :]
-        one_minus = 1.0 - alpha
-        log_om = jnp.log(one_minus)
-        t_within = jnp.exp(
-            jnp.dot(_tril_strict(), log_om, preferred_element_type=jnp.float32)
-        )
-        t_i = t_within * t_start  # (CHUNK, P) transmittance before gaussian i
-        w = alpha * t_i
+        t_start = tstart_ref[b, pl.ds(pl.multiple_of(c * P, P), P)][None, :]
 
-        rgb = blk[:, 5:8]  # (CHUNK, 3)
-        dep = blk[:, 9:10]
-        # e_i = c_i . dC + depth_i * dD per pixel
-        e = jnp.dot(rgb, dC, preferred_element_type=jnp.float32) + dep * dD  # (CHUNK, P)
-        we = w * e
-        # suffix within the chunk: S_i = sum_{j>i in chunk} w_j e_j + suffix_after
-        # strict suffix sums via an upper-triangular matmul (diag excluded)
-        s_after = jnp.dot(
-            _triu_inclusive() - jnp.eye(CHUNK, dtype=jnp.float32), we,
-            preferred_element_type=jnp.float32,
-        ) + suffix
+        @pl.when(jnp.max(t_start) <= 0.0)
+        def _():
+            dpacked_ref[:, b, pl.ds(pl.multiple_of(c * CHUNK, CHUNK), CHUNK)] = (
+                jnp.zeros((C_PACK, CHUNK), jnp.float32)
+            )
 
-        # d alpha_i = T_i e_i - S_i/(1-alpha_i) + dA * T_final/(1-alpha_i)
-        inv_om = 1.0 / jnp.maximum(one_minus, 1e-3)
-        dalpha = t_i * e - s_after * inv_om + dA * t_final * inv_om
-        # chain through alpha = clamp(op*exp(-sigma)): zero where clamped/dead
-        mx = blk[:, 0:1]
-        my = blk[:, 1:2]
-        ca = blk[:, 2:3]
-        cb = blk[:, 3:4]
-        cc = blk[:, 4:5]
-        op = blk[:, 8:9]
-        dx = px - mx
-        dy = py - my
-        sigma = 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
-        ealpha = op * jnp.exp(-jnp.maximum(sigma, 0.0))
-        active = live & (ealpha < MAX_ALPHA)
-        dalpha = jnp.where(active, dalpha, 0.0)
-        dsigma = -alpha * dalpha  # (CHUNK, P)
-        dop = jnp.sum(jnp.where(active, jnp.exp(-sigma) * dalpha, 0.0), axis=1)
+        def dead(suffix):
+            return suffix
 
-        # gradients wrt conic and mean (sum over pixels)
-        d_ca = jnp.sum(0.5 * dx * dx * dsigma, axis=1)
-        d_cb = jnp.sum(dx * dy * dsigma, axis=1)
-        d_cc = jnp.sum(0.5 * dy * dy * dsigma, axis=1)
-        gx = ca * dx + cb * dy
-        gy = cc * dy + cb * dx
-        # dsigma/ddx = gx, and ddx/dmx = -1 -> d_mx = -sum(gx*dsigma)
-        d_mx = -jnp.sum(gx * dsigma, axis=1)
-        d_my = -jnp.sum(gy * dsigma, axis=1)
+        def live_chunk(suffix):
+            return _bwd_chunk(packed_ref, dpacked_ref, b, c, t_start, suffix,
+                              px, py, dC, dA, dD, t_final)
 
-        d_rgb = jnp.dot(w, dC.T, preferred_element_type=jnp.float32)  # (CHUNK, 3)
-        d_dep = jnp.sum(w * dD, axis=1)
-
-        grad_blk = jnp.concatenate(
-            [
-                d_mx[:, None], d_my[:, None], d_ca[:, None], d_cb[:, None],
-                d_cc[:, None], d_rgb, dop[:, None], d_dep[:, None],
-                jnp.zeros((CHUNK, C_PACK - 10), jnp.float32),
-            ],
-            axis=1,
-        )
-        dpacked_ref[:, b, pl.ds(c * CHUNK, CHUNK)] = grad_blk.T
-
-        return suffix + jnp.sum(we, axis=0, keepdims=True)
+        return jax.lax.cond(jnp.max(t_start) > 0.0, live_chunk, dead, suffix)
 
     jax.lax.fori_loop(0, n_chunks, bwd_body, jnp.zeros((1, P), jnp.float32))
+
+
+def _bwd_chunk(packed_ref, dpacked_ref, b, c, t_start, suffix, px, py,
+               dC, dA, dD, t_final):
+    """Gradient of one CHUNK of one tile; returns the updated suffix."""
+    blk = packed_ref[:, b, pl.ds(pl.multiple_of(c * CHUNK, CHUNK), CHUNK)].T  # (CHUNK, C_PACK)
+    alpha, live = _chunk_alpha(blk, px, py)
+    one_minus = 1.0 - alpha
+    log_om = jnp.log(one_minus)
+    t_within = jnp.exp(
+        jnp.dot(_tril_strict(), log_om, preferred_element_type=jnp.float32)
+    )
+    t_i = t_within * t_start  # (CHUNK, P) transmittance before gaussian i
+    w = alpha * t_i
+
+    rgb = blk[:, 5:8]  # (CHUNK, 3)
+    dep = blk[:, 9:10]
+    # e_i = c_i . dC + depth_i * dD per pixel
+    e = jnp.dot(rgb, dC, preferred_element_type=jnp.float32) + dep * dD  # (CHUNK, P)
+    we = w * e
+    # suffix within the chunk: S_i = sum_{j>i in chunk} w_j e_j + suffix_after
+    # strict suffix sums via an upper-triangular matmul (diag excluded)
+    s_after = jnp.dot(
+        _triu_inclusive() - jnp.eye(CHUNK, dtype=jnp.float32), we,
+        preferred_element_type=jnp.float32,
+    ) + suffix
+
+    # d alpha_i = T_i e_i - S_i/(1-alpha_i) + dA * T_final/(1-alpha_i)
+    inv_om = 1.0 / jnp.maximum(one_minus, 1e-3)
+    dalpha = t_i * e - s_after * inv_om + dA * t_final * inv_om
+    # chain through alpha = clamp(op*exp(-sigma)): zero where clamped/dead
+    mx = blk[:, 0:1]
+    my = blk[:, 1:2]
+    ca = blk[:, 2:3]
+    cb = blk[:, 3:4]
+    cc = blk[:, 4:5]
+    op = blk[:, 8:9]
+    dx = px - mx
+    dy = py - my
+    sigma = 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
+    ealpha = op * jnp.exp(-jnp.maximum(sigma, 0.0))
+    active = live & (ealpha < MAX_ALPHA)
+    dalpha = jnp.where(active, dalpha, 0.0)
+    dsigma = -alpha * dalpha  # (CHUNK, P)
+    dop = jnp.sum(jnp.where(active, jnp.exp(-sigma) * dalpha, 0.0), axis=1)
+
+    # gradients wrt conic and mean (sum over pixels)
+    d_ca = jnp.sum(0.5 * dx * dx * dsigma, axis=1)
+    d_cb = jnp.sum(dx * dy * dsigma, axis=1)
+    d_cc = jnp.sum(0.5 * dy * dy * dsigma, axis=1)
+    gx = ca * dx + cb * dy
+    gy = cc * dy + cb * dx
+    # dsigma/ddx = gx, and ddx/dmx = -1 -> d_mx = -sum(gx*dsigma)
+    d_mx = -jnp.sum(gx * dsigma, axis=1)
+    d_my = -jnp.sum(gy * dsigma, axis=1)
+
+    d_rgb = jnp.dot(w, dC.T, preferred_element_type=jnp.float32)  # (CHUNK, 3)
+    d_dep = jnp.sum(w * dD, axis=1)
+
+    grad_blk = jnp.concatenate(
+        [
+            d_mx[:, None], d_my[:, None], d_ca[:, None], d_cb[:, None],
+            d_cc[:, None], d_rgb, dop[:, None], d_dep[:, None],
+            jnp.zeros((CHUNK, C_PACK - 10), jnp.float32),
+        ],
+        axis=1,
+    )
+    dpacked_ref[:, b, pl.ds(c * CHUNK, CHUNK)] = grad_blk.T
+
+    return suffix + jnp.sum(we, axis=0, keepdims=True)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
 def composite_tiles(packed: jnp.ndarray, tx: int, ty: int, tile_size: int):
     """packed (T, K, 16) -> (T, 8, 256): rows 0-2 rgb, 3 alpha, 4 depth."""
-    return _composite_fwd_impl(packed, tx, ty, tile_size)
+    return _composite_fwd_impl(packed, tx, ty, tile_size)[0]
 
 
 def _pad_tiles(arr, axis: int, t_total: int):
-    """Pad the tile axis to a multiple of 8 (Mosaic block-shape constraint)."""
+    """Pad the tile axis to a multiple of the block tile count."""
     pad = (-t_total) % 8
     if pad == 0:
         return arr, t_total
@@ -237,32 +266,45 @@ def _pad_tiles(arr, axis: int, t_total: int):
 
 
 def _composite_fwd_impl(packed, tx, ty, tile_size):
+    """Returns (out (T,8,P), tstart (T_pad, n_chunks*P)) — tstart keeps its
+    tile padding so the backward can reuse it without re-padding."""
     _, t_total, k = packed.shape
     packed, t_pad = _pad_tiles(packed, 1, t_total)
     tb = 8
     kernel = functools.partial(_forward_kernel, k=k, tx=tx, tile_size=tile_size,
                                tiles_per_block=tb)
-    out = pl.pallas_call(
+    out, tstart = pl.pallas_call(
         kernel,
         grid=(t_pad // tb,),
         in_specs=[
             pl.BlockSpec((C_PACK, tb, k), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((tb, 8, P), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-    out_shape=jax.ShapeDtypeStruct((t_pad, 8, P), jnp.float32),
+        out_specs=[
+            pl.BlockSpec((tb, 8, P), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, (k // CHUNK) * P), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t_pad, 8, P), jnp.float32),
+            jax.ShapeDtypeStruct((t_pad, (k // CHUNK) * P), jnp.float32),
+        ],
     )(packed)
-    return out[:t_total]
+    return out[:t_total], tstart
 
 
 def _composite_fwd(packed, tx, ty, tile_size):
-    out = _composite_fwd_impl(packed, tx, ty, tile_size)
-    return out, packed
+    out, tstart = _composite_fwd_impl(packed, tx, ty, tile_size)
+    return out, (packed, tstart, out)
 
 
-def _composite_bwd(tx, ty, tile_size, packed, gout):
+def _composite_bwd(tx, ty, tile_size, res, gout):
+    packed, tstart, out = res
     _, t_total, k = packed.shape
+    # route the forward's final transmittance to the kernel through gout row 5
+    # (rows 5-7 of out are structurally zero, so their cotangents are unused)
+    gout = gout.at[:, 5, :].set(1.0 - out[:, 3, :])
     packed, t_pad = _pad_tiles(packed, 1, t_total)
     gout, _ = _pad_tiles(gout, 0, t_total)
     tb = 8
@@ -276,12 +318,13 @@ def _composite_bwd(tx, ty, tile_size, packed, gout):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tb, 8, P), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, (k // CHUNK) * P), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((C_PACK, tb, k), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((C_PACK, t_pad, k), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((k // CHUNK, P), jnp.float32)],
-    )(packed, gout)
+    )(packed, gout, tstart)
     return (dpacked[:, :t_total, :],)
 
 

@@ -140,16 +140,18 @@ def tile_gaussians(
     keys = jnp.concatenate([keys1, keys2])
     np_total = keys.shape[0]
     pair_ids = jnp.arange(np_total, dtype=jnp.int32)
-    # Gaussian id travels through the sort as a second payload — mapping pair
-    # ids back through big_order afterwards would be 1.84M scalar gathers.
-    gauss_ids = jnp.concatenate([
-        jnp.repeat(jnp.arange(n, dtype=jnp.int32), 4),
-        jnp.repeat(big_order.astype(jnp.int32), m2),
-    ])
-    sorted_keys, sorted_pid, sorted_gid = jax.lax.sort(
-        (keys, pair_ids, gauss_ids), num_keys=1
-    )
+    sorted_keys, sorted_pid = jax.lax.sort_key_val(keys, pair_ids)
     sorted_tile = (sorted_keys >> shift).astype(jnp.int32)
+    # The kernel-side gaussian id is pure arithmetic on the sorted pair id —
+    # tier-1 pairs map to pid>>2, tier-2 pairs to an EXTENDED id n + slot
+    # (the pack gather appends feat[big_order] rows after the originals), so
+    # no gid payload rides the sort and no big_order table gather happens.
+    n4 = n * 4
+    sorted_gid = jnp.where(
+        sorted_pid < n4,
+        sorted_pid >> 2,
+        n + ((sorted_pid - n4) // m2),
+    ).astype(jnp.int32)
 
     starts = jnp.searchsorted(sorted_tile, jnp.arange(t_total + 1, dtype=jnp.int32))
     tile_start = starts[:-1]  # (T,)
@@ -198,12 +200,17 @@ def _use_pallas() -> bool:
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
 def _pack_gather(feat, gidx_ext, slots_small, slots_big, big_order, tk: int):
-    """Gather (N+1 sentinel, 16) rows into channel-major (16, T, K) tile blocks.
+    """Gather feature rows into channel-major (16, T, K) tile blocks.
 
-    Channel-major keeps K on the 128-lane axis — a trailing dim of 16 wastes 7/8
-    of HBM bandwidth on every DMA. The custom VJP turns the gradient scatter-add
-    (slow on TPU) into gathers via the precomputed inverse slot maps."""
-    feat_ext = jnp.concatenate([feat, jnp.zeros_like(feat[:1])], axis=0)
+    The source table is [feat; feat[big_order]; zero sentinel] — tier-2 pair
+    ids address the appended copies so the binning sort needs no gaussian-id
+    payload. Channel-major keeps K on the 128-lane axis — a trailing dim of 16
+    wastes 7/8 of HBM bandwidth on every DMA. The custom VJP turns the gradient
+    scatter-add (slow on TPU) into gathers via the precomputed inverse slot
+    maps."""
+    feat_ext = jnp.concatenate(
+        [feat, feat[big_order], jnp.zeros_like(feat[:1])], axis=0
+    )
     t, k = gidx_ext.shape
     return feat_ext[gidx_ext.reshape(-1)].T.reshape(feat.shape[1], t, k)
 
@@ -300,7 +307,7 @@ def rasterize(
          jnp.zeros((means2d.shape[0], pr.C_PACK - 10), means2d.dtype)],
         axis=-1,
     )  # (N, 16)
-    gidx_ext = jnp.where(gvalid, gidx, feat.shape[0])
+    gidx_ext = jnp.where(gvalid, gidx, feat.shape[0] + big_order.shape[0])
     packed = _pack_gather(feat, gidx_ext, slots_small, slots_big, big_order,
                           t_total * max_per_tile)
 
