@@ -119,15 +119,81 @@ def test_sfm_recovers_ring(rendered_capture):
     aligned = float(s) * rec_centers @ np.asarray(R).T + np.asarray(t)
     rmse = np.sqrt(np.mean(np.sum((aligned - gt_centers) ** 2, axis=-1)))
     scene_size = 4.0  # ring radius
-    # Quality ratchet: incremental chains on 160px images accumulate scale drift
-    # (~25% today); downstream 3DGS camera-pose optimization absorbs the residual.
-    # Tighten as the front end improves (learned descriptors / global SfM).
-    assert rmse < 0.5 * scene_size, f"camera center RMSE {rmse:.3f}; log: {logs}"
+    # Quality ratchet (r2: measured 7.8% on this scene after the extra
+    # filter+BA rounds; was ~25% in r1). Tighten further as the front end
+    # improves (learned descriptors / global SfM).
+    assert rmse < 0.1 * scene_size, f"camera center RMSE {rmse:.3f}; log: {logs}"
 
     # points should lie in the scene volume (rock + ground plane), not at infinity
     pts = float(s) * np.asarray(scene.points) @ np.asarray(R).T + np.asarray(t)
     r = np.linalg.norm(pts, axis=-1)
-    # generous bound (2.5x ring radius): catches the far-junk failure mode while
-    # tolerating the current ratcheted camera drift
     frac_near = np.mean(r < 10.0)
     assert frac_near > 0.85, f"only {frac_near:.0%} points in scene volume"
+
+
+def walk_cameras(n_views=12, span=5.0, depth=4.2):
+    """Forward-facing lateral walk: eye slides along a line, always looking at
+    the scene center — the narrow-baseline capture style of a phone walkthrough
+    (vs the ring's orbiting capture)."""
+    mats = []
+    for x in np.linspace(-span / 2, span / 2, n_views):
+        eye = np.array([x, 0.3, -depth])
+        z = np.array([0.0, 0.3, 0.0]) - eye
+        z /= np.linalg.norm(z)
+        up = np.array([0.0, -1.0, 0.0])
+        xax = np.cross(up, z)
+        xax /= np.linalg.norm(xax)
+        y = np.cross(z, xax)
+        R = np.stack([xax, y, z])
+        w2c = np.eye(4, dtype=np.float32)
+        w2c[:3, :3] = R
+        w2c[:3, 3] = -R @ eye
+        mats.append(w2c)
+    return np.stack(mats)
+
+
+def test_sfm_recovers_forward_walk():
+    """Second e2e scene: forward-facing lateral walk (no orbit). Narrow
+    baselines stress triangulation angles and scale transfer rather than
+    appearance change."""
+    rng = np.random.default_rng(9)
+    cloud = make_textured_scene(rng)
+    viewmats_gt = walk_cameras()
+    n = len(viewmats_gt)
+    cams = Cameras(
+        camtoworlds=jnp.asarray(np.linalg.inv(viewmats_gt)),
+        fx=jnp.full((n,), FX), fy=jnp.full((n,), FX),
+        cx=jnp.full((n,), W / 2), cy=jnp.full((n,), H / 2),
+        distortion=jnp.zeros((n, 4)), width=W, height=H,
+    )
+    images = np.stack([
+        np.asarray(render_cloud(cloud, cams, i, background=jnp.full(3, 0.7),
+                                max_per_tile=256).color)
+        for i in range(n)
+    ])
+    logs = []
+    cfg = MapperConfig(
+        feature=FeatureConfig(
+            max_features=1024, num_octaves=3, contrast_threshold=0.006,
+            upsample_first=True,
+        ),
+        matching_method="exhaustive",
+        ratio=0.9,
+        min_pair_inliers=20,
+        ba_every=3,
+    )
+    scene = run_sfm(images, cfg, fx=FX, fy=FX, cx=W / 2, cy=H / 2,
+                    log_fn=logs.append)
+    reg = np.asarray(scene.registered)
+    assert reg.sum() >= n - 2, f"only {reg.sum()}/{n} registered; log: {logs}"
+
+    gt_centers = np.stack([
+        -viewmats_gt[i][:3, :3].T @ viewmats_gt[i][:3, 3] for i in range(n)
+    ])[reg]
+    rec_centers = np.asarray(scene.cameras.camtoworlds[:, :3, 3])
+    s, R, t = umeyama_alignment(jnp.asarray(rec_centers, jnp.float32),
+                                jnp.asarray(gt_centers, jnp.float32))
+    aligned = float(s) * rec_centers @ np.asarray(R).T + np.asarray(t)
+    rmse = np.sqrt(np.mean(np.sum((aligned - gt_centers) ** 2, axis=-1)))
+    scene_size = 5.0  # walk span
+    assert rmse < 0.1 * scene_size, f"camera center RMSE {rmse:.3f}; log: {logs}"

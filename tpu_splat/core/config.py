@@ -47,6 +47,9 @@ class VideoProcessingConfig:
 @dataclass
 class ImageProcessingConfig:
     filter_blurry_images: bool = True
+    # "full" = whole-frame Laplacian variance; a u2net model name scores only
+    # the salient subject (the reference's MASK_METHOD config)
+    blur_mask_method: str = "full"
 
 
 @dataclass
@@ -205,7 +208,8 @@ def job_config_from_json(payload: dict | str) -> JobConfig:
             max_num_images=_as_int(vp.get("maxNumImages"), 300)
         ),
         image_processing=ImageProcessingConfig(
-            filter_blurry_images=_as_bool(ip.get("filterBlurryImages"), True)
+            filter_blurry_images=_as_bool(ip.get("filterBlurryImages"), True),
+            blur_mask_method=str(ip.get("blurMaskMethod") or "full"),
         ),
         sfm=SfMConfig(
             enable=_as_bool(sfm.get("enable"), True),
@@ -276,7 +280,10 @@ def job_config_to_json(cfg: JobConfig) -> dict:
             "outputPrefix": cfg.s3.output_prefix,
         },
         "videoProcessing": {"maxNumImages": cfg.video_processing.max_num_images},
-        "imageProcessing": {"filterBlurryImages": cfg.image_processing.filter_blurry_images},
+        "imageProcessing": {
+            "filterBlurryImages": cfg.image_processing.filter_blurry_images,
+            "blurMaskMethod": cfg.image_processing.blur_mask_method,
+        },
         "sfm": {
             "enable": cfg.sfm.enable,
             "softwareName": cfg.sfm.software_name,

@@ -41,6 +41,65 @@ def laplacian_variance(images: np.ndarray, chunk: int = 32) -> np.ndarray:
     return np.concatenate(out)
 
 
+def saliency_laplacian_variance(
+    images: np.ndarray,
+    model: str = "u2net",
+    decay_frames: float = 30.0,
+    threshold: float = 0.5,
+) -> np.ndarray:
+    """Saliency-masked sharpness scoring with temporally smoothed masks — the
+    object-capture mode (compute_laplacian_variance_u2net,
+    filter_blurry_images.py:205-339): score only the salient subject so frame
+    selection keeps the SUBJECT sharp, with the per-frame mask low-pass
+    filtered through time (single-pole recursive filter, the reference's
+    decay_s * fps) after warping the previous filtered mask forward along
+    Farneback optical flow.
+
+    images (N, H, W, 3) float32 in [0,1]; returns (N,) scores."""
+    import cv2
+
+    from tpu_splat.matting.remove import (
+        _find_u2net_weights,
+        _saliency_mask,
+        _u2net_masks,
+    )
+
+    n = len(images)
+    weights = _find_u2net_weights() if model.startswith("u2net") else None
+    if weights is not None:
+        masks = np.asarray(_u2net_masks(images, weights), np.float32)
+    else:  # classical saliency fallback (same stack as background removal)
+        masks = np.stack([
+            _saliency_mask((img * 255).astype(np.uint8)) for img in images
+        ]).astype(np.float32)
+
+    gray = (images @ np.array([0.299, 0.587, 0.114], np.float32) * 255).astype(
+        np.uint8
+    )
+    x = float(np.exp(-1.0 / decay_frames)) if decay_frames > 0 else 0.0
+
+    scores = np.zeros(n, np.float32)
+    mask_f = None
+    flow = None
+    for f in range(n):
+        m = masks[f]
+        if x > 0.0 and mask_f is not None:
+            flow = cv2.calcOpticalFlowFarneback(
+                gray[f], gray[f - 1], flow, 0.5, 3, 15, 3, 5, 1.2, 0
+            )
+            fmap = flow.copy()
+            fmap[:, :, 0] += np.arange(fmap.shape[1])
+            fmap[:, :, 1] += np.arange(fmap.shape[0])[:, np.newaxis]
+            warped = cv2.remap(mask_f, fmap, None, cv2.INTER_LINEAR)
+            m = (1 - x) * m + x * warped
+        mask_f = m.astype(np.float32)
+        lap = cv2.Laplacian(gray[f].astype(np.float32) / 255.0, cv2.CV_32F)
+        sel = lap[mask_f > threshold]
+        # an empty mask falls back to full-frame variance rather than zero
+        scores[f] = float(sel.var()) if sel.size > 64 else float(lap.var())
+    return scores
+
+
 def select_sharp_frames(
     scores: np.ndarray,
     target_count: int,
@@ -95,9 +154,17 @@ def filter_blurry_images(
     images: np.ndarray,
     target_count: Optional[int] = None,
     min_keep_fraction: float = 0.5,
+    mask_method: str = "full",
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Score + select sharp frames. Returns (selected_images, selected_indices)."""
-    scores = laplacian_variance(images)
+    """Score + select sharp frames. Returns (selected_images, selected_indices).
+
+    mask_method: "full" scores the whole frame; a u2net model name scores only
+    the salient subject (compute_laplacian_variance dispatch,
+    filter_blurry_images.py:499-519)."""
+    if mask_method and mask_method not in ("full", "center"):
+        scores = saliency_laplacian_variance(images, model=mask_method)
+    else:
+        scores = laplacian_variance(images)
     n = len(images)
     target = target_count if target_count is not None else max(int(n * min_keep_fraction), 3)
     target = min(target, n)

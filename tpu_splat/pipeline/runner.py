@@ -255,7 +255,10 @@ def _filter_blurry(ctx: PipelineContext):
     cfg: JobConfig = ctx["cfg"]
     images = ctx.require("images")
     target = min(cfg.video_processing.max_num_images, len(images))
-    selected, idx = filter_blurry_images(images, target_count=target)
+    selected, idx = filter_blurry_images(
+        images, target_count=target,
+        mask_method=cfg.image_processing.blur_mask_method,
+    )
     ctx["images"] = selected
     ctx["frame_indices"] = idx
     if ctx.get("image_names") is not None:

@@ -103,19 +103,25 @@ def _edge_response_ok(dog_s: jnp.ndarray, edge_threshold: float) -> jnp.ndarray:
     return (det > 0) & (tr * tr * r < (r + 1) ** 2 * det)
 
 
-def _bilinear(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
-    """Bilinear sample of (H, W) image at float coords (clamped)."""
-    h, w = img.shape
+def _bilinear3(stack: jnp.ndarray, s: jnp.ndarray, x: jnp.ndarray,
+               y: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear sample of stack[s] at float coords (clamped).
+
+    stack is (S, H, W) with s a (traced) scalar level index: indexing the
+    level INSIDE the gather keeps the whole pyramid out of the per-keypoint
+    batch — `stack[s][y, x]` under vmap materializes (K, S, H, W), which at
+    640px/2048 keypoints is a 20 GB broadcast (real OOM on TPU)."""
+    h, w = stack.shape[1], stack.shape[2]
     x = jnp.clip(x, 0.0, w - 1.001)
     y = jnp.clip(y, 0.0, h - 1.001)
     x0 = jnp.floor(x).astype(jnp.int32)
     y0 = jnp.floor(y).astype(jnp.int32)
     fx = x - x0
     fy = y - y0
-    v00 = img[y0, x0]
-    v01 = img[y0, x0 + 1]
-    v10 = img[y0 + 1, x0]
-    v11 = img[y0 + 1, x0 + 1]
+    v00 = stack[s, y0, x0]
+    v01 = stack[s, y0, x0 + 1]
+    v10 = stack[s, y0 + 1, x0]
+    v11 = stack[s, y0 + 1, x0 + 1]
     return (
         v00 * (1 - fx) * (1 - fy)
         + v01 * fx * (1 - fy)
@@ -124,15 +130,15 @@ def _bilinear(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def _keypoint_orientation(gx, gy, x, y, sigma):
+def _keypoint_orientation(gxs, gys, si, x, y, sigma):
     """Dominant gradient orientation in a gaussian-weighted window (36 bins)."""
     radius = 3.0 * sigma  # window radius in pixels (at this octave's resolution)
     grid = jnp.linspace(-1.0, 1.0, 9)  # 9x9 samples over the window
     ox, oy = jnp.meshgrid(grid * radius, grid * radius)
     sx = x + ox.reshape(-1)
     sy = y + oy.reshape(-1)
-    mag_x = _bilinear(gx, sx, sy)
-    mag_y = _bilinear(gy, sx, sy)
+    mag_x = _bilinear3(gxs, si, sx, sy)
+    mag_y = _bilinear3(gys, si, sx, sy)
     mag = jnp.sqrt(mag_x**2 + mag_y**2)
     ang = jnp.arctan2(mag_y, mag_x)  # [-pi, pi]
     wgt = jnp.exp(-(ox.reshape(-1) ** 2 + oy.reshape(-1) ** 2) / (2 * (1.5 * sigma) ** 2))
@@ -150,7 +156,7 @@ def _keypoint_orientation(gx, gy, x, y, sigma):
     return theta
 
 
-def _descriptor(gx, gy, x, y, sigma, theta):
+def _descriptor(gxs, gys, si, x, y, sigma, theta):
     """128-d SIFT descriptor: 4x4 spatial cells x 8 orientation bins."""
     d = 4  # spatial bins
     n_ori = 8
@@ -162,10 +168,10 @@ def _descriptor(gx, gy, x, y, sigma, theta):
     cos_t, sin_t = jnp.cos(theta), jnp.sin(theta)
     sx = x + (cos_t * u - sin_t * v).reshape(-1) * hist_width
     sy = y + (sin_t * u + cos_t * v).reshape(-1) * hist_width
-    gxs = _bilinear(gx, sx, sy)
-    gys = _bilinear(gy, sx, sy)
-    mag = jnp.sqrt(gxs**2 + gys**2)
-    ang = jnp.arctan2(gys, gxs) - theta
+    gxv = _bilinear3(gxs, si, sx, sy)
+    gyv = _bilinear3(gys, si, sx, sy)
+    mag = jnp.sqrt(gxv**2 + gyv**2)
+    ang = jnp.arctan2(gyv, gxv) - theta
     wgt = jnp.exp(-(u.reshape(-1) ** 2 + v.reshape(-1) ** 2) / (2 * (d / 2) ** 2))
     w_mag = mag * wgt
 
@@ -284,35 +290,43 @@ def extract_features(
     xs, ys, sig = xs[sel], ys[sel], sig[sel]
     octs, sidx = octs[sel], sidx[sel]
 
-    # Precompute gradients for each octave/scale actually used; gather per keypoint.
+    # Precompute gradient stacks ONCE per octave (outside the keypoint vmap);
+    # per-keypoint work is then only small bilinear gathers into them.
+    grad_stacks = []
+    for gauss in gauss_stacks:
+        gx = (jnp.roll(gauss, -1, 2) - jnp.roll(gauss, 1, 2)) * 0.5
+        gy = (jnp.roll(gauss, -1, 1) - jnp.roll(gauss, 1, 1)) * 0.5
+        grad_stacks.append((gx, gy))
+
     def per_keypoint(xi, yi, sigi, octi, si, ok):
         def on_octave(o):
-            gauss = gauss_stacks[o]
+            gxs, gys = grad_stacks[o]
             octave_scale = base_scale * (2.0**o)
-            gl = gauss[si]  # (h, w) at this octave
-            gx = (jnp.roll(gl, -1, 1) - jnp.roll(gl, 1, 1)) * 0.5
-            gy = (jnp.roll(gl, -1, 0) - jnp.roll(gl, 1, 0)) * 0.5
             # coords at octave resolution
             lx = (xi + 0.5) / octave_scale - 0.5
             ly = (yi + 0.5) / octave_scale - 0.5
             lsig = sigi / octave_scale
-            theta = _keypoint_orientation(gx, gy, lx, ly, lsig)
+            theta = _keypoint_orientation(gxs, gys, si, lx, ly, lsig)
             if cfg.dsp:
                 descs = [
-                    _descriptor(gx, gy, lx, ly, lsig * f, theta)
+                    _descriptor(gxs, gys, si, lx, ly, lsig * f, theta)
                     for f in (0.75, 1.0, 1.5)
                 ]
                 desc = sum(descs) / 3.0
                 desc = desc / jnp.maximum(jnp.linalg.norm(desc), 1e-8)
             else:
-                desc = _descriptor(gx, gy, lx, ly, lsig, theta)
+                desc = _descriptor(gxs, gys, si, lx, ly, lsig, theta)
             return theta, desc
 
-        theta, desc = jax.lax.switch(
-            jnp.clip(octi, 0, len(gauss_stacks) - 1),
-            [functools.partial(on_octave, o) for o in range(len(gauss_stacks))],
-        )
-        return theta, jnp.where(ok, desc, 0.0)
+        # Evaluate against every octave and select the right small output —
+        # NOT lax.switch: a vmapped switch lowers to select_n over its
+        # captured operands, broadcasting each octave's full gradient stack
+        # to (K, S, H, W) (a 20 GB allocation at 640px / 2048 keypoints).
+        outs = [on_octave(o) for o in range(len(gauss_stacks))]
+        thetas = jnp.stack([t for t, _ in outs])  # (n_oct,)
+        descs = jnp.stack([d for _, d in outs])  # (n_oct, 128)
+        o = jnp.clip(octi, 0, len(gauss_stacks) - 1)
+        return thetas[o], jnp.where(ok, descs[o], 0.0)
 
     thetas, descs = jax.vmap(per_keypoint)(xs, ys, sig, octs, sidx, valid)
 

