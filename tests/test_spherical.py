@@ -75,3 +75,48 @@ def test_expand_captures_shapes(rng):
                                  optimize_sequential_frame_order=False)
     out2 = expand_equirectangular_captures(images, cfg2, face_size=32)
     assert len(out2) == 16  # exactly 4 faces x 4 frames, no extras
+
+
+def test_sequence_order_and_reversals():
+    """Face-major ordering with direction reversals (the reference's
+    Left -> Front(reversed) -> Right -> Back(reversed) layout,
+    equirectangular_to_perspective.py:752-1472): per-frame constant-color ERPs
+    let the source frame of every output view be read back from its pixels."""
+    n = 4
+    images = np.stack([
+        np.full((32, 64, 3), (i + 1) / 10.0, np.float32) for i in range(n)
+    ])
+    cfg = SphericalCameraConfig(enable=True, cube_faces_to_remove="up,down",
+                                optimize_sequential_frame_order=False)
+    out = expand_equirectangular_captures(images, cfg, face_size=16)
+    src = np.round(out[:, 8, 8, 0] * 10 - 1).astype(int)
+    # 4 faces x 4 frames; odd faces walk the capture in reverse
+    assert list(src) == [0, 1, 2, 3, 3, 2, 1, 0, 0, 1, 2, 3, 3, 2, 1, 0]
+
+
+def test_oval_nodes_use_temporal_neighbors():
+    """useOvalNodes: connective views cycle source frames center/prev/center/
+    next (get_oval_node_paths, equirectangular_to_perspective.py:353-440)."""
+    n = 4
+    images = np.stack([
+        np.full((32, 64, 3), (i + 1) / 10.0, np.float32) for i in range(n)
+    ])
+    base = SphericalCameraConfig(enable=True, cube_faces_to_remove="up,down",
+                                 optimize_sequential_frame_order=True)
+    out_plain = expand_equirectangular_captures(images, base, face_size=16)
+    oval = SphericalCameraConfig(enable=True, cube_faces_to_remove="up,down",
+                                 optimize_sequential_frame_order=True,
+                                 use_oval_nodes=True)
+    out_oval = expand_equirectangular_captures(images, oval, face_size=16)
+    assert len(out_plain) == len(out_oval)
+    src_plain = np.round(out_plain[:, 8, 8, 0] * 10 - 1).astype(int)
+    src_oval = np.round(out_oval[:, 8, 8, 0] * 10 - 1).astype(int)
+    # every frame is a key frame at n=4: after each face view come 4
+    # connective views; plain sources them all from the center frame, oval
+    # cycles [center, prev, center, next]
+    assert list(src_plain[1:5]) == [0, 0, 0, 0]
+    assert list(src_oval[1:5]) == [0, 0, 0, 1]  # prev of frame 0 clamps to 0
+    # a mid-sequence key frame shows the full center/prev/center/next cycle
+    i = list(src_plain).index(1)  # frame 1's face view
+    assert list(src_plain[i + 1:i + 5]) == [1, 1, 1, 1]
+    assert list(src_oval[i + 1:i + 5]) == [1, 0, 1, 2]

@@ -66,6 +66,19 @@ def expand_equirectangular_captures(
     # Per-face frame sequences (face-major ordering with reversal rules so the
     # final sequence walks each face along the capture path, alternating
     # direction to stay visually continuous at face boundaries).
+    # Oval nodes (get_oval_node_paths, equirectangular_to_perspective.py:353):
+    # connective views at a key frame cycle their SOURCE frame through
+    # [center, prev, center, next] per angle index, adding temporal baseline
+    # (an elliptical camera path) that stiffens SfM convergence. Out-of-range
+    # neighbors fall back to the center frame (the reference's validate path).
+    use_oval = getattr(cfg, "use_oval_nodes", False)
+
+    def oval_source(fi: int, angle_idx: int) -> int:
+        if not use_oval:
+            return fi
+        cycle = (fi, max(fi - 1, 0), fi, min(fi + 1, n - 1))
+        return cycle[angle_idx % 4]
+
     sequence: List[np.ndarray] = []
     order = list(range(n))
     for i, face in enumerate(horiz_faces):
@@ -77,8 +90,10 @@ def expand_equirectangular_captures(
             if fi in key_frames and cfg.optimize_sequential_frame_order and i + 1 < len(horiz_faces):
                 next_yaw = _FACE_YAW[horiz_faces[i + 1]]
                 delta = ((next_yaw - yaw + 540) % 360) - 180
-                for step in _CONNECTIVE_STEPS[:4]:
-                    sequence.append(render(fi, yaw + math.copysign(step, delta), 0.0))
+                for k, step in enumerate(_CONNECTIVE_STEPS[:4]):
+                    sequence.append(render(
+                        oval_source(fi, k), yaw + math.copysign(step, delta), 0.0
+                    ))
 
     pitches_up = (40.0, 75.0) if getattr(cfg, "angled_up_views", False) else (75.0,)
     pitches_down = (-40.0, -75.0) if getattr(cfg, "angled_down_views", False) else (-75.0,)
