@@ -121,7 +121,9 @@ def bench_train_throughput() -> float:
 def bench_sfm_throughput() -> float:
     """images/sec through TPU feature extraction + pairwise MXU matching —
     the SfM hot path (the colmap feature_extractor + matcher capability)."""
-    from tpu_splat.sfm.features import FeatureConfig, extract_features
+    import jax
+
+    from tpu_splat.sfm.features import FeatureConfig
     from tpu_splat.sfm.matching import match_descriptors
 
     rng = np.random.default_rng(1)
@@ -141,12 +143,14 @@ def bench_sfm_throughput() -> float:
         for i in range(n_imgs)
     ])
 
+    from tpu_splat.sfm.features import extract_features_batch
+
     fcfg = FeatureConfig(max_features=2048)
     # warm the jit caches (compile ~60s on TPU) before timing throughput
-    extract_features(jnp.asarray(images[0]), fcfg, size, size).xy.block_until_ready()
+    extract_features_batch(jnp.asarray(images[:8]), fcfg, size, size)
     t0 = time.time()
-    feats = [extract_features(jnp.asarray(img), fcfg, size, size)
-             for img in images]
+    fb = extract_features_batch(jnp.asarray(images), fcfg, size, size)
+    feats = [jax.tree.map(lambda a: a[i], fb) for i in range(n_imgs)]
     total = 0.0
     for i in range(n_imgs - 1):
         for j in range(i + 1, min(i + 4, n_imgs)):

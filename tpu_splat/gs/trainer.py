@@ -85,6 +85,11 @@ class TrainConfig:
             # Gaussian ray tracing models map onto the rasterizer with antialiasing
             # + selective adam (their distinguishing optimizer feature).
             return replace(base, antialiased=True, selective_adam=True)
+        if model == "nerfacto":
+            # The reference trains a NeRF here only to export a poisson mesh
+            # (main.py:1408-1468); the analog trains splats normally and the
+            # runner adds the mesh deliverables (export/mesh.py).
+            return base
         raise ValueError(f"unknown model {model!r}")
 
 

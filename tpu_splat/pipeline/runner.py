@@ -149,6 +149,12 @@ def _register_components(pipe: Pipeline, cfg: JobConfig, out_dir: str):
         "Rotate-Mirror-SPZ-Export", ComponentType.EXPORTER, _export_spz, 783,
         enabled=cfg.training.enable,
     )
+    # The reference's nerfacto branch exists to deliver a textured mesh
+    # (ns-export poisson -> texture -> obj_to_glb, main.py:1388-1468)
+    pipe.create_component(
+        "Mesh-Export", ComponentType.EXPORTER, _export_mesh, 785,
+        enabled=cfg.training.enable and cfg.training.model == "nerfacto",
+    )
     pipe.create_component(
         "Estimate-Scale", ComponentType.EXPORTER, _estimate_scale, 795,
         enabled=cfg.measurement.reference_type != "none",
@@ -540,6 +546,22 @@ def _export_spz(ctx: PipelineContext):
     if cfg.training.rotate_splat:
         delivered = mirror_splat(rotate_splat(cloud, "x:180,y:180"), "x")
         save_ply(delivered, os.path.join(out, "splat.ply"))
+
+
+def _export_mesh(ctx: PipelineContext):
+    """Polygonize the trained splat into poisson_mesh.ply + textured mesh
+    .obj/.glb (the nerfacto mesh-export deliverables, main.py:1388-1468)."""
+    from tpu_splat.export.mesh import export_mesh_artifacts
+
+    out = os.path.join(ctx["out_dir"], "exports")
+    os.makedirs(out, exist_ok=True)
+    arts = export_mesh_artifacts(ctx.require("splat"), out)
+    pipe_logger(ctx)(
+        f"mesh: {arts['n_vertices']} vertices, {arts['n_faces']} faces"
+    )
+    ctx.setdefault("artifacts", {}).update(
+        {k: v for k, v in arts.items() if isinstance(v, str)}
+    )
 
 
 def _estimate_scale(ctx: PipelineContext):

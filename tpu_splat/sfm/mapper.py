@@ -30,7 +30,7 @@ import numpy as np
 
 from tpu_splat.core.types import Cameras, SfMScene
 from tpu_splat.sfm.ba import BAProblem, bundle_adjust
-from tpu_splat.sfm.features import FeatureConfig, extract_features, rgb_to_gray
+from tpu_splat.sfm.features import FeatureConfig, rgb_to_gray
 from tpu_splat.sfm.geometry import (
     decompose_essential,
     essential_ransac,
@@ -39,7 +39,11 @@ from tpu_splat.sfm.geometry import (
     triangulate_dlt,
     triangulate_multiview,
 )
-from tpu_splat.sfm.matching import guided_match, match_descriptors, select_pairs
+from tpu_splat.sfm.matching import (
+    guided_match,
+    match_descriptors_pairs,
+    select_pairs,
+)
 
 
 @dataclass
@@ -109,12 +113,12 @@ class IncrementalMapper:
     # ---------- stage 1: features ----------
 
     def extract_all(self):
-        feats = []
-        for i in range(self.n):
-            img = self.images[i]
-            gray = rgb_to_gray(jnp.asarray(img)) if img.ndim == 3 else jnp.asarray(img)
-            f = extract_features(gray, self.cfg.feature, self.h, self.w)
-            feats.append(jax.tree.map(np.asarray, f))
+        from tpu_splat.sfm.features import extract_features_batch
+
+        gray = jax.vmap(rgb_to_gray)(jnp.asarray(self.images))
+        fb = extract_features_batch(gray, self.cfg.feature, self.h, self.w)
+        fb = jax.tree.map(np.asarray, fb)
+        feats = [jax.tree.map(lambda a: a[i], fb) for i in range(self.n)]
         self.feats = feats
         self.log(f"features: {self.n} images, "
                  f"{np.mean([f.valid.sum() for f in feats]):.0f} kps/image avg")
@@ -133,14 +137,20 @@ class IncrementalMapper:
         thresh_n = cfg.pixel_threshold / self.fx
         self.pair_matches: Dict[Tuple[int, int], np.ndarray] = {}
         self.pair_inliers: Dict[Tuple[int, int], int] = {}
-        for a, b in pairs:
-            m = match_descriptors(
-                jnp.asarray(self.feats[a].descriptor), jnp.asarray(self.feats[a].valid),
-                jnp.asarray(self.feats[b].descriptor), jnp.asarray(self.feats[b].valid),
-                ratio=cfg.ratio, max_matches=cfg.max_matches_per_pair,
-            )
-            idx = np.asarray(m.idx)
-            mval = np.asarray(m.valid)
+        if len(pairs) == 0:
+            self.log("matching: no candidate pairs")
+            return
+        # all pair matchings in chunked vmapped dispatches (descriptor matching
+        # is one matmul each; per-pair dispatch latency would dominate)
+        mb = match_descriptors_pairs(
+            jnp.asarray(descs), jnp.asarray(valids), np.asarray(pairs),
+            ratio=cfg.ratio, max_matches=cfg.max_matches_per_pair,
+        )
+        mb_idx = np.asarray(mb.idx)
+        mb_valid = np.asarray(mb.valid)
+        for pi, (a, b) in enumerate(pairs):
+            idx = mb_idx[pi]
+            mval = mb_valid[pi]
             if mval.sum() < cfg.min_pair_inliers:
                 continue
             xa = self._norm_coords(a, idx[:, 0])

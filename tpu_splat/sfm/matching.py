@@ -67,6 +67,41 @@ def match_descriptors(
     return Matches(idx=pairs, valid=jnp.isfinite(top_scores))
 
 
+@functools.partial(jax.jit, static_argnames=("max_matches", "chunk"))
+def _match_pairs_vmapped(desc, valid, pa, pb, ratio, max_matches, chunk):
+    def one(a, b):
+        return match_descriptors(desc[a], valid[a], desc[b], valid[b],
+                                 ratio=ratio, max_matches=max_matches)
+
+    return jax.vmap(one)(pa, pb)
+
+
+def match_descriptors_pairs(
+    desc: jnp.ndarray,
+    valid: jnp.ndarray,
+    pairs: np.ndarray,
+    ratio: float = 0.8,
+    max_matches: int = 2048,
+    chunk: int = 32,
+) -> Matches:
+    """Batched pair matching: desc (N, K, 128), valid (N, K), pairs (P, 2) ->
+    Matches with leading pair axis. One dispatch per `chunk` pairs — per-pair
+    dispatch latency dominates on remote-tunnel TPU setups."""
+    outs = []
+    p = len(pairs)
+    for i in range(0, p, chunk):
+        blk = pairs[i:i + chunk]
+        pad = chunk - len(blk)
+        if pad:
+            blk = np.concatenate([blk, np.tile(blk[-1:], (pad, 1))])
+        m = _match_pairs_vmapped(
+            desc, valid, jnp.asarray(blk[:, 0]), jnp.asarray(blk[:, 1]),
+            ratio, max_matches, chunk,
+        )
+        outs.append(jax.tree.map(lambda a: a[:chunk - pad] if pad else a, m))
+    return jax.tree.map(lambda *xs: jnp.concatenate(xs), *outs)
+
+
 @functools.partial(jax.jit, static_argnames=("max_matches",))
 def guided_match(
     desc_a: jnp.ndarray,
