@@ -119,9 +119,14 @@ def test_sfm_recovers_ring(rendered_capture):
     aligned = float(s) * rec_centers @ np.asarray(R).T + np.asarray(t)
     rmse = np.sqrt(np.mean(np.sum((aligned - gt_centers) ** 2, axis=-1)))
     scene_size = 4.0  # ring radius
-    # Quality ratchet (r2: measured 7.8% on this scene after the extra
-    # filter+BA rounds; was ~25% in r1). Tighten further as the front end
-    # improves (learned descriptors / global SfM).
+    # Quality ratchet: r1 ~25% -> r2 7.8% -> r3 8.8% measured (annealed
+    # wide-pair augmentation). The drift floor on this scene is structural:
+    # 160px synthetic views give mean track length ~2.6 and almost no
+    # verifiable wide-baseline pairs, so the 240-degree chain keeps a few
+    # percent of low-frequency bend however hard the final BAs squeeze
+    # (rms 0.7px). 5% needs a front-end upgrade (learned descriptors /
+    # rotation averaging) — queued in PARITY gaps; denser 20-view sampling
+    # was tried and sits on a worse registration cascade (52%).
     assert rmse < 0.1 * scene_size, f"camera center RMSE {rmse:.3f}; log: {logs}"
 
     # points should lie in the scene volume (rock + ground plane), not at infinity
@@ -129,6 +134,53 @@ def test_sfm_recovers_ring(rendered_capture):
     r = np.linalg.norm(pts, axis=-1)
     frac_near = np.mean(r < 10.0)
     assert frac_near > 0.85, f"only {frac_near:.0%} points in scene volume"
+
+
+def test_sfm_self_calibration(rendered_capture):
+    """No intrinsics supplied: self-calibration (focal sweep + shared-focal BA
+    refinement, COLMAP-mapper-default parity, main.py:1090-1113) must still
+    meet the pose ratchet. Focal itself is only sanity-checked: a 240-degree
+    constant-elevation orbit is near the classic turntable degeneracy, where
+    pose quality is focal-insensitive (measured: fixed f=192 on this f=140
+    scene gives BETTER center RMSE than fixed f=140) — the same is true of
+    COLMAP on such captures."""
+    images, viewmats_gt = rendered_capture
+    n = len(viewmats_gt)
+    logs = []
+    cfg = MapperConfig(
+        feature=FeatureConfig(
+            max_features=1024, num_octaves=3, contrast_threshold=0.006,
+            upsample_first=True,
+        ),
+        matching_method="exhaustive",
+        ratio=0.9,
+        min_pair_inliers=20,
+        ba_every=3,
+    )
+    scene = run_sfm(images, cfg, log_fn=logs.append)  # no fx/fy/cx/cy
+    reg = np.asarray(scene.registered)
+    assert reg.sum() >= n - 2, f"only {reg.sum()}/{n} registered; log: {logs}"
+
+    # The calibration claim proper: from a 37%-wrong 1.2*max(w,h) prior, the
+    # mid-mapping shared-focal BA refinement recovers fx to a tight band
+    # (measured r3: 140.8 vs GT 140.0 — 0.5%; registration is all-PnP with
+    # zero relative-pose rescues once failed PnPs defer to focal refinement).
+    fx_rec = float(np.asarray(scene.cameras.fx)[0])
+    assert 0.8 * FX < fx_rec < 1.25 * FX, \
+        f"recovered fx {fx_rec:.1f} outside 25% of GT {FX}; log: {logs}"
+
+    gt_centers = np.stack([
+        -viewmats_gt[i][:3, :3].T @ viewmats_gt[i][:3, 3] for i in range(n)
+    ])[reg]
+    rec_centers = np.asarray(scene.cameras.camtoworlds[:, :3, 3])
+    s, R, t = umeyama_alignment(jnp.asarray(rec_centers, jnp.float32),
+                                jnp.asarray(gt_centers, jnp.float32))
+    aligned = float(s) * rec_centers @ np.asarray(R).T + np.asarray(t)
+    rmse = np.sqrt(np.mean(np.sum((aligned - gt_centers) ** 2, axis=-1)))
+    # Pose bound: within 2x of the GT-focal run's structural drift floor
+    # (~8.8%; the 240-degree chain bends low-frequency regardless of focal —
+    # see test_sfm_recovers_ring). Measured r3: 17%.
+    assert rmse < 0.2 * 4.0, f"camera center RMSE {rmse:.3f}; log: {logs}"
 
 
 def walk_cameras(n_views=12, span=5.0, depth=4.2):
@@ -152,10 +204,8 @@ def walk_cameras(n_views=12, span=5.0, depth=4.2):
     return np.stack(mats)
 
 
-def test_sfm_recovers_forward_walk():
-    """Second e2e scene: forward-facing lateral walk (no orbit). Narrow
-    baselines stress triangulation angles and scale transfer rather than
-    appearance change."""
+@pytest.fixture(scope="module")
+def walk_capture():
     rng = np.random.default_rng(9)
     cloud = make_textured_scene(rng)
     viewmats_gt = walk_cameras()
@@ -171,8 +221,11 @@ def test_sfm_recovers_forward_walk():
                                 max_per_tile=256).color)
         for i in range(n)
     ])
-    logs = []
-    cfg = MapperConfig(
+    return images, viewmats_gt
+
+
+def _walk_cfg():
+    return MapperConfig(
         feature=FeatureConfig(
             max_features=1024, num_octaves=3, contrast_threshold=0.006,
             upsample_first=True,
@@ -182,11 +235,12 @@ def test_sfm_recovers_forward_walk():
         min_pair_inliers=20,
         ba_every=3,
     )
-    scene = run_sfm(images, cfg, fx=FX, fy=FX, cx=W / 2, cy=H / 2,
-                    log_fn=logs.append)
+
+
+def _walk_rmse(scene, viewmats_gt, logs):
+    n = len(viewmats_gt)
     reg = np.asarray(scene.registered)
     assert reg.sum() >= n - 2, f"only {reg.sum()}/{n} registered; log: {logs}"
-
     gt_centers = np.stack([
         -viewmats_gt[i][:3, :3].T @ viewmats_gt[i][:3, 3] for i in range(n)
     ])[reg]
@@ -194,6 +248,29 @@ def test_sfm_recovers_forward_walk():
     s, R, t = umeyama_alignment(jnp.asarray(rec_centers, jnp.float32),
                                 jnp.asarray(gt_centers, jnp.float32))
     aligned = float(s) * rec_centers @ np.asarray(R).T + np.asarray(t)
-    rmse = np.sqrt(np.mean(np.sum((aligned - gt_centers) ** 2, axis=-1)))
+    return np.sqrt(np.mean(np.sum((aligned - gt_centers) ** 2, axis=-1)))
+
+
+def test_sfm_recovers_forward_walk(walk_capture):
+    """Second e2e scene: forward-facing lateral walk (no orbit). Narrow
+    baselines stress triangulation angles and scale transfer rather than
+    appearance change."""
+    images, viewmats_gt = walk_capture
+    logs = []
+    scene = run_sfm(images, _walk_cfg(), fx=FX, fy=FX, cx=W / 2, cy=H / 2,
+                    log_fn=logs.append)
+    rmse = _walk_rmse(scene, viewmats_gt, logs)
     scene_size = 5.0  # walk span
-    assert rmse < 0.1 * scene_size, f"camera center RMSE {rmse:.3f}; log: {logs}"
+    # ratchet: r2 10% -> r3 5% (measured 1.6% of span)
+    assert rmse < 0.05 * scene_size, f"camera center RMSE {rmse:.3f}; log: {logs}"
+
+
+def test_sfm_self_calibration_forward_walk(walk_capture):
+    """No intrinsics on the walk scene: forward-facing motion is the classic
+    focal-depth ambiguity, so only pose quality is asserted (measured r3:
+    1.4% of span with self-calibration vs 1.6% with the raw prior)."""
+    images, viewmats_gt = walk_capture
+    logs = []
+    scene = run_sfm(images, _walk_cfg(), log_fn=logs.append)  # no intrinsics
+    rmse = _walk_rmse(scene, viewmats_gt, logs)
+    assert rmse < 0.1 * 5.0, f"camera center RMSE {rmse:.3f}; log: {logs}"

@@ -35,7 +35,12 @@ class BAProblem(NamedTuple):
 
 
 def _residuals(theta, problem: BAProblem, weights, fixed_cam_mask):
-    """Weighted reprojection residuals (O*2,). theta = dict(dw, dt, dX)."""
+    """Weighted reprojection residuals (O*2,). theta = dict(dw, dt, dX[, df]).
+
+    `df` (scalar, optional) is a shared log-focal correction: the model
+    projection is scaled by exp(df), which is exactly a change of the shared
+    focal length in normalized-coordinate space (self-calibration; COLMAP's
+    mapper refines intrinsics by default, reference main.py:1090-1113)."""
     dw = theta["dw"] * (1.0 - fixed_cam_mask[:, None])
     dt = theta["dt"] * (1.0 - fixed_cam_mask[:, None])
     R = exp_so3(dw) @ problem.cam_rotmats  # (C, 3, 3)
@@ -48,6 +53,8 @@ def _residuals(theta, problem: BAProblem, weights, fixed_cam_mask):
     pc = jnp.einsum("oij,oj->oi", Rc, Xp) + tc
     z = jnp.maximum(pc[:, 2], 1e-6)
     proj = pc[:, :2] / z[:, None]
+    if "df" in theta:
+        proj = proj * jnp.exp(theta["df"])
     res = (proj - problem.obs_uv) * weights[:, None]
     # observations behind the camera get zeroed (weights handle validity)
     res = jnp.where((pc[:, 2] > 1e-6)[:, None], res, 0.0)
@@ -62,7 +69,8 @@ def _huber_weights(problem, theta, fixed_cam_mask, delta):
     return w * problem.obs_valid.astype(jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("outer_iters", "cg_iters", "fix_first_cam"))
+@functools.partial(jax.jit, static_argnames=("outer_iters", "cg_iters",
+                                              "fix_first_cam", "optimize_focal"))
 def bundle_adjust(
     problem: BAProblem,
     huber_delta: float = 0.01,
@@ -70,31 +78,46 @@ def bundle_adjust(
     cg_iters: int = 24,
     lm_lambda: float = 1e-5,
     fix_first_cam: bool = True,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Run BA; returns (cam_rotmats, cam_trans, points, rms_error)."""
+    optimize_focal: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Run BA; returns (cam_rotmats, cam_trans, points, rms_error, focal_scale).
+
+    With optimize_focal, a shared log-focal correction is estimated jointly
+    (single-camera captures); the caller should multiply its fx/fy by the
+    returned focal_scale. focal_scale is 1.0 otherwise."""
     C = problem.cam_rotmats.shape[0]
     fixed = jnp.zeros((C,), jnp.float32)
     if fix_first_cam:
         fixed = fixed.at[0].set(1.0)
 
     def zero_theta():
-        return {
+        th = {
             "dw": jnp.zeros((C, 3)),
             "dt": jnp.zeros((C, 3)),
             "dX": jnp.zeros_like(problem.points),
         }
+        if optimize_focal:
+            th["df"] = jnp.zeros(())
+        return th
 
     def apply_theta(prob, theta):
         dw = theta["dw"] * (1.0 - fixed[:, None])
         dt = theta["dt"] * (1.0 - fixed[:, None])
+        # A focal step exp(df) on the model is folded into the problem by
+        # scaling the observations by exp(-df); the cumulative df is carried
+        # separately so the caller can update its fx/fy.
+        obs_uv = prob.obs_uv
+        if "df" in theta:
+            obs_uv = obs_uv * jnp.exp(-theta["df"])
         return prob._replace(
             cam_rotmats=exp_so3(dw) @ prob.cam_rotmats,
             cam_trans=prob.cam_trans + dt,
             points=prob.points + theta["dX"],
+            obs_uv=obs_uv,
         )
 
     def outer(carry, _):
-        prob, key = carry
+        prob, log_s, key = carry
         theta0 = zero_theta()
         w = _huber_weights(prob, theta0, fixed, huber_delta)
 
@@ -134,6 +157,11 @@ def bundle_adjust(
             "dt": diag_for("dt", 3, prob.obs_cam, n_cams),
             "dX": diag_for("dX", 3, prob.obs_pt, n_pts),
         }
+        if optimize_focal:
+            tangent = jax.tree.map(jnp.zeros_like, theta0)
+            tangent["df"] = jnp.ones(())
+            _, jv = jax.jvp(res_fn, (theta0,), (tangent,))
+            diag["df"] = jnp.sum(jv**2)
         diag = jax.tree.map(lambda d: jnp.maximum(d, 1e-10), diag)
 
         def hvp(v):
@@ -168,6 +196,11 @@ def bundle_adjust(
 
         (x, _, _, _), _ = jax.lax.scan(cg_step, (x, r, z, rz), None, length=cg_iters)
 
+        if optimize_focal:
+            # trust region on the shared focal: one outer step may move the
+            # focal at most ~5% — unclamped, early poorly-conditioned rounds
+            # oscillate the focal +-20% and destabilize the whole map
+            x = dict(x, df=jnp.clip(x["df"], -0.05, 0.05))
         # Accept the step only if the weighted cost does not increase; try a
         # half step as a cheap fallback before rejecting.
         cost0 = jnp.sum(r0**2)
@@ -178,17 +211,19 @@ def bundle_adjust(
         use_full = (cost_full <= cost_half) & (cost_full < cost0)
         scale = jnp.where(use_full, 1.0, jnp.where(use_half, 0.5, 0.0))
         x = jax.tree.map(lambda a: scale * a, x)
-        return (apply_theta(prob, x), key), jnp.minimum(cost_full, cost0)
+        new_log_s = log_s + (x["df"] if optimize_focal else 0.0)
+        return (apply_theta(prob, x), new_log_s, key), jnp.minimum(cost_full, cost0)
 
-    (prob, _), _ = jax.lax.scan(
-        outer, (problem, jax.random.PRNGKey(0)), None, length=outer_iters
+    (prob, log_s, _), _ = jax.lax.scan(
+        outer, (problem, jnp.zeros(()), jax.random.PRNGKey(0)), None,
+        length=outer_iters,
     )
 
     ones = jnp.ones_like(problem.obs_valid, dtype=jnp.float32)
     r = _residuals(zero_theta(), prob, ones * prob.obs_valid, fixed).reshape(-1, 2)
     nvalid = jnp.maximum(jnp.sum(prob.obs_valid), 1)
     rms = jnp.sqrt(jnp.sum(r**2) / nvalid)
-    return prob.cam_rotmats, prob.cam_trans, prob.points, rms
+    return prob.cam_rotmats, prob.cam_trans, prob.points, rms, jnp.exp(log_s)
 
 
 def reprojection_errors(problem: BAProblem) -> jnp.ndarray:

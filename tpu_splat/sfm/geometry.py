@@ -216,6 +216,51 @@ def essential_ransac(
     return E_out, inl_out
 
 
+@functools.partial(jax.jit, static_argnames=("num_hypotheses",))
+def _essential_ransac_vmapped(x1n, x2n, valid, keys, thresholds,
+                              num_hypotheses):
+    return jax.vmap(
+        lambda a, b, v, k, t: essential_ransac(
+            a, b, v, k, t, num_hypotheses=num_hypotheses)
+    )(x1n, x2n, valid, keys, thresholds)
+
+
+def essential_ransac_pairs(
+    x1n: jnp.ndarray,
+    x2n: jnp.ndarray,
+    valid: jnp.ndarray,
+    keys: jnp.ndarray,
+    thresholds: jnp.ndarray,
+    num_hypotheses: int = 512,
+    chunk: int = 16,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched essential RANSAC over a leading pair axis (the per-pair host
+    loop was the SfM throughput bottleneck — one dispatch per `chunk` pairs
+    amortizes the tunnel latency). thresholds may differ per pair (used by the
+    focal self-calibration sweep). Returns (E (P,3,3), inliers (P,M))."""
+    import numpy as _np
+
+    p = x1n.shape[0]
+    Es, inls = [], []
+    for i in range(0, p, chunk):
+        n = min(chunk, p - i)
+        pad = chunk - n
+
+        def blk(a):
+            b = a[i:i + n]
+            if pad:
+                b = jnp.concatenate([b, jnp.repeat(b[-1:], pad, axis=0)])
+            return b
+
+        E, inl = _essential_ransac_vmapped(
+            blk(x1n), blk(x2n), blk(valid), blk(keys), blk(thresholds),
+            num_hypotheses,
+        )
+        Es.append(_np.asarray(E[:n]))
+        inls.append(_np.asarray(inl[:n]))
+    return _np.concatenate(Es), _np.concatenate(inls)
+
+
 def decompose_essential(
     E: jnp.ndarray, x1n: jnp.ndarray, x2n: jnp.ndarray, inliers: jnp.ndarray
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:

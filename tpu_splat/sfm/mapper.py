@@ -34,6 +34,7 @@ from tpu_splat.sfm.features import FeatureConfig, rgb_to_gray
 from tpu_splat.sfm.geometry import (
     decompose_essential,
     essential_ransac,
+    essential_ransac_pairs,
     pnp_ransac,
     pnp_refine_annealed,
     triangulate_dlt,
@@ -41,6 +42,7 @@ from tpu_splat.sfm.geometry import (
 )
 from tpu_splat.sfm.matching import (
     guided_match,
+    guided_match_pairs,
     match_descriptors_pairs,
     select_pairs,
 )
@@ -62,6 +64,10 @@ class MapperConfig:
     ba_cg_iters: int = 24
     max_reproj_error_px: float = 4.0
     focal_prior_factor: float = 1.2  # fx ~ 1.2 * max(w, h) when unknown
+    # Intrinsics self-calibration (COLMAP refines intrinsics by default,
+    # reference main.py:1090-1113). None = auto: refine exactly when no fx/fy
+    # was supplied; True/False force it on/off.
+    refine_intrinsics: Optional[bool] = None
     seed: int = 0
 
 
@@ -103,6 +109,8 @@ class IncrementalMapper:
         self.fy = fy or self.fx
         self.cx = cx if cx is not None else self.w / 2
         self.cy = cy if cy is not None else self.h / 2
+        self.calibrate = (cfg.refine_intrinsics if cfg.refine_intrinsics
+                          is not None else fx is None)
         self.log = log_fn or (lambda s: None)
         self.key = jax.random.PRNGKey(cfg.seed)
 
@@ -134,55 +142,114 @@ class IncrementalMapper:
             exhaustive_max_images=cfg.exhaustive_max_images,
             descriptors=descs, valids=valids,
         )
-        thresh_n = cfg.pixel_threshold / self.fx
         self.pair_matches: Dict[Tuple[int, int], np.ndarray] = {}
         self.pair_inliers: Dict[Tuple[int, int], int] = {}
         if len(pairs) == 0:
             self.log("matching: no candidate pairs")
             return
+        pairs = np.asarray(pairs)
         # all pair matchings in chunked vmapped dispatches (descriptor matching
         # is one matmul each; per-pair dispatch latency would dominate)
         mb = match_descriptors_pairs(
-            jnp.asarray(descs), jnp.asarray(valids), np.asarray(pairs),
+            jnp.asarray(descs), jnp.asarray(valids), pairs,
             ratio=cfg.ratio, max_matches=cfg.max_matches_per_pair,
         )
         mb_idx = np.asarray(mb.idx)
         mb_valid = np.asarray(mb.valid)
-        for pi, (a, b) in enumerate(pairs):
-            idx = mb_idx[pi]
-            mval = mb_valid[pi]
-            if mval.sum() < cfg.min_pair_inliers:
-                continue
-            xa = self._norm_coords(a, idx[:, 0])
-            xb = self._norm_coords(b, idx[:, 1])
-            E, inl = essential_ransac(
-                jnp.asarray(xa), jnp.asarray(xb), jnp.asarray(mval),
-                self._next_key(), threshold=thresh_n,
-            )
-            inl = np.asarray(inl)
-            if inl.sum() < cfg.min_pair_inliers:
-                continue
-            # Guided re-matching: with E verified, gate by the epipolar constraint
-            # instead of the ratio test — recovers matches the conservative first
-            # pass dropped and lengthens tracks.
-            xa_all = self._norm_coords(a, np.arange(self.feats[a].xy.shape[0]))
-            xb_all = self._norm_coords(b, np.arange(self.feats[b].xy.shape[0]))
-            gm = guided_match(
-                jnp.asarray(self.feats[a].descriptor), jnp.asarray(self.feats[a].valid),
-                jnp.asarray(xa_all),
-                jnp.asarray(self.feats[b].descriptor), jnp.asarray(self.feats[b].valid),
-                jnp.asarray(xb_all),
-                E, epipolar_threshold=thresh_n,
-                max_matches=cfg.max_matches_per_pair,
-            )
-            gidx = np.asarray(gm.idx)[np.asarray(gm.valid)]
+        counts = mb_valid.sum(1)
+        cand = np.nonzero(counts >= cfg.min_pair_inliers)[0]
+        if len(cand) == 0:
+            self.log(f"matching: 0/{len(pairs)} pairs verified")
+            return
+        if self.calibrate:
+            self._calibrate_focal(pairs, mb_idx, mb_valid, cand)
+        thresh_n = cfg.pixel_threshold / self.fx
+
+        # Essential-matrix verification of every candidate pair in chunked
+        # vmapped dispatches (the former per-pair host loop was the SfM
+        # throughput bottleneck — PARITY gap 3).
+        xy = np.stack([f.xy for f in self.feats]).astype(np.float32)
+        c = np.array([self.cx, self.cy], np.float32)
+        f = np.array([self.fx, self.fy], np.float32)
+        A, B = pairs[cand, 0], pairs[cand, 1]
+        xa = (xy[A[:, None], mb_idx[cand, :, 0]] - c) / f
+        xb = (xy[B[:, None], mb_idx[cand, :, 1]] - c) / f
+        keys = jax.random.split(self._next_key(), len(cand))
+        E_all, inl_all = essential_ransac_pairs(
+            jnp.asarray(xa), jnp.asarray(xb), jnp.asarray(mb_valid[cand]),
+            keys, jnp.full((len(cand),), thresh_n, jnp.float32),
+        )
+        inl_counts = inl_all.sum(1)
+        ok = inl_counts >= cfg.min_pair_inliers
+        sel = cand[ok]
+        if len(sel) == 0:
+            self.log(f"matching: 0/{len(pairs)} pairs verified")
+            return
+
+        # Guided re-matching of the verified pairs, one batched dispatch: with
+        # E known, gate by the epipolar constraint instead of the ratio test —
+        # recovers matches the conservative first pass dropped.
+        xy_n = (xy - c) / f
+        gm = guided_match_pairs(
+            jnp.asarray(descs), jnp.asarray(valids), jnp.asarray(xy_n),
+            pairs[sel], E_all[ok],
+            np.full(len(sel), thresh_n, np.float32),
+            max_matches=cfg.max_matches_per_pair,
+        )
+        gm_idx = np.asarray(gm.idx)
+        gm_valid = np.asarray(gm.valid)
+        for row, pi in enumerate(sel):
+            a, b = int(pairs[pi, 0]), int(pairs[pi, 1])
+            j = int(np.nonzero(cand == pi)[0][0])
+            inl = inl_all[j]
+            gidx = gm_idx[row][gm_valid[row]]
             if len(gidx) >= inl.sum():
-                self.pair_matches[(int(a), int(b))] = gidx
-                self.pair_inliers[(int(a), int(b))] = len(gidx)
+                self.pair_matches[(a, b)] = gidx
+                self.pair_inliers[(a, b)] = len(gidx)
             else:
-                self.pair_matches[(int(a), int(b))] = idx[inl]
-                self.pair_inliers[(int(a), int(b))] = int(inl.sum())
+                self.pair_matches[(a, b)] = mb_idx[pi][inl]
+                self.pair_inliers[(a, b)] = int(inl.sum())
         self.log(f"matching: {len(self.pair_matches)}/{len(pairs)} pairs verified")
+
+    def _calibrate_focal(self, pairs, mb_idx, mb_valid, cand):
+        """Two-view focal sweep: score a grid of focal candidates by essential-
+        RANSAC consensus on the strongest pairs (constant *pixel* tolerance)
+        and adopt the best. This bootstraps self-calibration well enough for
+        the mapper to converge; BA's shared log-focal parameter then refines it
+        (COLMAP's mapper equivalently refines intrinsics during reconstruction)."""
+        counts = mb_valid.sum(1)
+        top = cand[np.argsort(-counts[cand])[:4]]
+        factors = np.array([0.5, 0.65, 0.8, 1.0, 1.2, 1.45, 1.75], np.float32)
+        f_list = factors * self.fx
+        xy = np.stack([f.xy for f in self.feats]).astype(np.float32)
+        c = np.array([self.cx, self.cy], np.float32)
+        A, B = pairs[top, 0], pairs[top, 1]
+        pxa = xy[A[:, None], mb_idx[top, :, 0]] - c  # (T, M, 2) centered pixels
+        pxb = xy[B[:, None], mb_idx[top, :, 1]] - c
+        xa = np.concatenate([pxa / f for f in f_list])  # (F*T, M, 2)
+        xb = np.concatenate([pxb / f for f in f_list])
+        val = np.tile(mb_valid[top], (len(f_list), 1))
+        thr = np.repeat(self.cfg.pixel_threshold / f_list, len(top))
+        keys = jax.random.split(self._next_key(), len(thr))
+        _, inl = essential_ransac_pairs(
+            jnp.asarray(xa), jnp.asarray(xb), jnp.asarray(val), keys,
+            jnp.asarray(thr, jnp.float32),
+        )
+        score = inl.sum(1).reshape(len(f_list), len(top)).sum(1)
+        best = int(np.argmax(score))
+        base = int(np.nonzero(factors == 1.0)[0][0])
+        # Two-view consensus vs focal is FLAT on focal-degenerate captures
+        # (near-turntable orbits, forward-facing walks — measured +-1 inlier
+        # across a 3.5x focal range on the e2e scenes): argmax of noise would
+        # replace the sane 1.2*max(w,h) prior with a coin flip. Only override
+        # the prior on a clear margin.
+        if score[best] > 1.05 * score[base] + 2 and best != base:
+            self.fx = self.fy = float(f_list[best])
+            self.log(f"focal sweep: {factors[best]:.2f}x prior -> "
+                     f"fx={self.fx:.1f} (consensus {score.tolist()})")
+        else:
+            self.log(f"focal sweep: flat consensus {score.tolist()}; "
+                     f"keeping prior fx={self.fx:.1f}")
 
     def _norm_coords(self, img_idx: int, feat_idx: np.ndarray) -> np.ndarray:
         xy = self.feats[img_idx].xy[feat_idx]
@@ -314,6 +381,21 @@ class IncrementalMapper:
                         break
             self._attempts[nxt] += 1
             ok = self._register_image(nxt, min_inliers)
+            if (not ok and self.calibrate and self._attempts[nxt] < 3
+                    and self.registered.sum() >= 8):
+                # Self-calibrating with a mature map: a failed PnP is as likely
+                # a focal error as a hard view — run BA (which refines the
+                # shared focal from 8 cams on) and retry before resorting to
+                # the relative-pose rescue. Rescues under a wrong focal chain
+                # into self-consistent warped segments the final BA then fits
+                # focal TO, so they are last-attempt-only here. Below 8 cams
+                # the rescue keeps its old role: bootstrapping low-overlap
+                # chains a 2-camera map cannot PnP against.
+                self._bundle_adjust()
+                self._filter_observations()
+                self._retriangulate()
+                since_ba = 0
+                continue
             if not ok:
                 ok = self._register_via_relative_pose(nxt)
             if not ok:
@@ -335,16 +417,52 @@ class IncrementalMapper:
         # poses now known, guided-match the unverified wide-baseline pairs and
         # merge them into the tracks — the long-range constraints the final BA
         # needs to pull the chain rigid (COLMAP gets the same effect from its
-        # transitive match expansion).
-        self._augment_wide_pairs()
-        self._retriangulate()
-        self._filter_observations()  # purge bad augmented links before BA sees them
-        self._bundle_adjust(extended=True)
+        # transitive match expansion). Annealed: each augment+BA round unbends
+        # the map a little, which lets the next round verify wide pairs whose
+        # map-predicted pose was previously too far off — iterate until no new
+        # pairs land.
+        for _ in range(3):
+            if self._augment_wide_pairs() == 0:
+                break
+            self._retriangulate()
+            self._filter_observations()  # purge bad links before BA sees them
+            self._bundle_adjust(extended=True)
+        self._reregister_weak_cameras()
         self._filter_observations()
         self._retriangulate()
         self._bundle_adjust(extended=True)
         self._filter_points()
         return self._to_scene()
+
+    def _reregister_weak_cameras(self):
+        """Re-PnP cameras whose observations disagree with the converged map.
+
+        Relative-pose rescue registrations can land a camera on a locally-
+        consistent but globally-wrong pose that survives BA as an outlier
+        island (its own observations get filtered instead of pulling it in).
+        With the rest of the map converged, plain annealed PnP from the map
+        recovers such cameras (COLMAP's equivalent is its re-registration of
+        under-constrained images after global BA)."""
+        max_err_n = self.cfg.max_reproj_error_px / self.fx
+        for i in np.nonzero(self.registered)[0]:
+            tids = [tid for tid in self.img_tracks[i] if self.has_point[tid]]
+            if len(tids) < self.cfg.min_pnp_inliers:
+                continue
+            feats = np.array([self.img_tracks[i][tid] for tid in tids])
+            xn = self._norm_coords(i, feats)
+            pc = self.points[tids] @ self.R[i].T + self.t[i]
+            z = np.maximum(pc[:, 2], 1e-9)
+            err = np.linalg.norm(pc[:, :2] / z[:, None] - xn, axis=-1)
+            err = np.where(pc[:, 2] > 1e-6, err, np.inf)
+            med = float(np.median(err))
+            if med <= max_err_n:
+                continue
+            old_R, old_t = self.R[i].copy(), self.t[i].copy()
+            if self._register_image(int(i)):
+                self.log(f"re-registered weak camera {i} "
+                         f"(median err was {med * self.fx:.1f}px)")
+            else:
+                self.R[i], self.t[i] = old_R, old_t
 
     def _filter_observations(self):
         """Drop individual track observations whose reprojection error exceeds the
@@ -383,10 +501,11 @@ class IncrementalMapper:
         registered observations (coverage grows as cameras register/BA improves)."""
         self._triangulate_image_tracks(list(np.nonzero(self.registered)[0]))
 
-    def _augment_wide_pairs(self, max_span: int = 8):
+    def _augment_wide_pairs(self, max_span: int = 8) -> int:
         """Pose-guided matching of registered pairs the ratio test couldn't
         verify: derive E from the current relative pose, epipolar-gate the
-        descriptor matches, and merge the results into the track graph."""
+        descriptor matches, and merge the results into the track graph.
+        Returns the number of newly verified pairs."""
         from tpu_splat.sfm.matching import guided_match
 
         reg = np.nonzero(self.registered)[0]
@@ -450,7 +569,15 @@ class IncrementalMapper:
                 )
                 dR = np.asarray(R2) @ R_rel.T
                 ang = np.degrees(np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1)))
-                if ang > 8.0:
+                # Map-agreement gate, adaptive: a DRIFTED map disagrees with a
+                # TRUE wide pair by exactly the accumulated drift, so pairs
+                # whose own RANSAC support is overwhelming get a loose gate
+                # (they are the drift-correcting constraints); weakly supported
+                # candidates keep the strict 8 degrees (spurious plane-texture
+                # E's are internally consistent but directionally random).
+                strong = inl.sum() >= max(2 * self.cfg.min_pnp_inliers,
+                                          0.7 * len(gidx))
+                if ang > (25.0 if strong else 8.0):
                     continue
                 gidx = gidx[inl]
                 n_pairs += 1
@@ -460,6 +587,7 @@ class IncrementalMapper:
         if n_pairs:
             self.log(f"wide-pair augmentation: {n_pairs} new pairs, "
                      f"{n_obs} track links")
+        return n_pairs
 
     def _merge_matches_into_tracks(self, a: int, b: int, idx: np.ndarray) -> int:
         """Fold (feat_a, feat_b) matches into the track graph: extend a track
@@ -768,18 +896,35 @@ class IncrementalMapper:
             obs_uv=jnp.asarray(ouv),
             obs_valid=jnp.asarray(ov),
         )
-        R, t, X, rms = bundle_adjust(
+        # Focal refinement is frozen during early map growth: small partial-
+        # scene BAs (few cams, short tracks) are too poorly conditioned —
+        # refining focal there oscillates it +-20% and destabilizes
+        # registration. From 8 registered cameras on, the (clamped, <=5% per
+        # outer round) shared-focal parameter turns on so that LATER
+        # registrations already run with a corrected focal — waiting for the
+        # final extended BAs lets a bad prior fail mid-mapping PnPs and warp
+        # the map through relative-pose rescues before focal ever corrects.
+        refine_focal = self.calibrate and (extended or len(cam_ids) >= 8)
+        R, t, X, rms, fscale = bundle_adjust(
             problem,
             huber_delta=cfg.pixel_threshold / self.fx,
             outer_iters=cfg.ba_outer_iters * (3 if extended else 1),
             cg_iters=cfg.ba_cg_iters * (2 if extended else 1),
+            optimize_focal=refine_focal,
         )
         self.R[cam_ids] = np.asarray(R)
         self.t[cam_ids] = np.asarray(t)
         self.points[live] = np.asarray(X)
+        if refine_focal:
+            s = float(fscale)
+            if abs(s - 1.0) > 1e-5:
+                self.fx *= s
+                self.fy *= s
         self.log(
             f"BA: {len(cam_ids)} cams, {len(live)} pts, {o} obs, "
             f"rms {float(rms) * self.fx:.2f}px"
+            + (f", focal x{float(fscale):.4f} -> {self.fx:.1f}"
+               if refine_focal else "")
         )
 
     def _filter_points(self):

@@ -161,6 +161,48 @@ def guided_match(
     return Matches(idx=pairs, valid=jnp.isfinite(top_scores))
 
 
+@functools.partial(jax.jit, static_argnames=("max_matches",))
+def _guided_match_vmapped(desc, valid, xy_n, pa, pb, Es, epipolar_thresholds,
+                          max_matches):
+    def one(a, b, E, thr):
+        return guided_match(desc[a], valid[a], xy_n[a], desc[b], valid[b],
+                            xy_n[b], E, thr, max_matches=max_matches)
+
+    return jax.vmap(one)(pa, pb, Es, epipolar_thresholds)
+
+
+def guided_match_pairs(
+    desc: jnp.ndarray,
+    valid: jnp.ndarray,
+    xy_n: jnp.ndarray,
+    pairs: np.ndarray,
+    Es: np.ndarray,
+    epipolar_thresholds: np.ndarray,
+    max_matches: int = 2048,
+    chunk: int = 16,
+) -> Matches:
+    """Batched guided re-matching: desc (N,K,128), valid (N,K), xy_n (N,K,2)
+    normalized coords, pairs (P,2), Es (P,3,3). One dispatch per `chunk` pairs
+    (the per-pair host loop dominated SfM wall-clock through the tunnel)."""
+    outs = []
+    p = len(pairs)
+    for i in range(0, p, chunk):
+        blk = pairs[i:i + chunk]
+        eb = Es[i:i + chunk]
+        tb = epipolar_thresholds[i:i + chunk]
+        pad = chunk - len(blk)
+        if pad:
+            blk = np.concatenate([blk, np.tile(blk[-1:], (pad, 1))])
+            eb = np.concatenate([eb, np.tile(eb[-1:], (pad, 1, 1))])
+            tb = np.concatenate([tb, np.tile(tb[-1:], pad)])
+        m = _guided_match_vmapped(
+            desc, valid, xy_n, jnp.asarray(blk[:, 0]), jnp.asarray(blk[:, 1]),
+            jnp.asarray(eb), jnp.asarray(tb), max_matches,
+        )
+        outs.append(jax.tree.map(lambda a: a[:chunk - pad] if pad else a, m))
+    return jax.tree.map(lambda *xs: jnp.concatenate(xs), *outs)
+
+
 def sequential_pairs(n: int, overlap: int = 10, loop_closure: bool = True) -> np.ndarray:
     """COLMAP sequential-matcher pair list: window + power-of-2 links."""
     pairs = set()
