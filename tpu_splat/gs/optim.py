@@ -22,20 +22,21 @@ class AdamState(NamedTuple):
     count: jnp.ndarray  # scalar int32
 
 
-# SH-rest moments are stored in bf16: they are 45 of the 60 per-gaussian state
-# channels, the optimizer step is HBM-bandwidth-bound on TPU, and a 2^-8
-# relative quantization of the moment running averages is far below gradient
-# noise for the highest-frequency color coefficients. Math stays f32.
-_BF16_MOMENTS = ("shN",)
+# The SH-rest FIRST moment is stored in bf16: shN is 45 of the 60 per-gaussian
+# state channels, the optimizer step is HBM-bandwidth-bound on TPU, and with
+# b1=0.9 the per-step 10% increments survive bf16 round-to-nearest. The second
+# moment must stay f32: its (1-b2)=1e-3 increments fall below bf16 resolution
+# (~2^-9) near steady state, so a bf16 nu freezes and stops tracking
+# gradient-scale decay (update absorption). Math stays f32 either way.
+_BF16_MU = ("shN",)
 
 
 def adam_init(params: Params, skip: tuple = ("alive",)) -> AdamState:
-    def zeros(k, v):
-        dt = jnp.bfloat16 if k in _BF16_MOMENTS else v.dtype
-        return jnp.zeros(v.shape, dt)
+    def zeros(v, bf16: bool):
+        return jnp.zeros(v.shape, jnp.bfloat16 if bf16 else v.dtype)
 
-    mu = {k: zeros(k, v) for k, v in params.items() if k not in skip}
-    nu = {k: zeros(k, v) for k, v in params.items() if k not in skip}
+    mu = {k: zeros(v, k in _BF16_MU) for k, v in params.items() if k not in skip}
+    nu = {k: zeros(v, False) for k, v in params.items() if k not in skip}
     return AdamState(mu=mu, nu=nu, count=jnp.zeros((), jnp.int32))
 
 
