@@ -47,17 +47,21 @@ def test_distributed_step_runs_and_shards(dp_setup):
     batch = jnp.asarray(images[:4])
     vm = jnp.asarray(viewmats[:4])
     K = jnp.asarray(intrin[:4])
-    p1, adam1, d1, metrics = step_fn(params_d, adam, dstate, batch, vm, K,
-                                     jnp.asarray(0), jax.random.PRNGKey(0))
+    mk = jnp.zeros((4, 1, 1))
+    cd = jnp.zeros((4, 6))
+    p1, adam1, d1, metrics, cg = step_fn(params_d, adam, dstate, batch, vm, K,
+                                         mk, cd, jnp.asarray(0),
+                                         jax.random.PRNGKey(0))
     assert np.isfinite(float(metrics["loss"]))
+    assert cg.shape == (4, 6)
     # parameters actually changed
     assert float(jnp.abs(p1["means"] - params_d["means"]).max()) > 0
     # sharding survives: each param is split over the gauss axis
     sh = p1["means"].sharding
     assert "gauss" in sh.spec
     # second step (exercises donated/cached path)
-    p2, adam2, d2, m2 = step_fn(p1, adam1, d1, batch, vm, K, jnp.asarray(1),
-                                jax.random.PRNGKey(1))
+    p2, adam2, d2, m2, _ = step_fn(p1, adam1, d1, batch, vm, K, mk, cd,
+                                   jnp.asarray(1), jax.random.PRNGKey(1))
     assert np.isfinite(float(m2["loss"]))
 
 
@@ -71,9 +75,11 @@ def test_distributed_matches_gradient_of_mean_loss(dp_setup):
     adam = adam_init(params_d)
     dstate = densify_state_init(params_d["means"].shape[0])
     batch = jnp.asarray(images[:4])
-    p1, _, _, metrics = step_fn(params_d, adam, dstate, batch,
-                                jnp.asarray(viewmats[:4]), jnp.asarray(intrin[:4]),
-                                jnp.asarray(0), jax.random.PRNGKey(0))
+    p1, _, _, metrics, _ = step_fn(params_d, adam, dstate, batch,
+                                   jnp.asarray(viewmats[:4]),
+                                   jnp.asarray(intrin[:4]),
+                                   jnp.zeros((4, 1, 1)), jnp.zeros((4, 6)),
+                                   jnp.asarray(0), jax.random.PRNGKey(0))
 
     # single-device reference: identical math without the mesh
     from tpu_splat.gs.losses import image_loss
@@ -104,6 +110,74 @@ def test_distributed_matches_gradient_of_mean_loss(dp_setup):
     delta = np.asarray(p1["means"]) - np.asarray(params["means"])
     mask = np.abs(g) > 1e-12
     assert np.all(np.sign(delta[mask]) == -np.sign(g[mask]))
+
+
+def test_scale_schedule():
+    """steps_scaler semantics: every step-indexed milestone shrinks together."""
+    from tpu_splat.gs.trainer import scale_schedule
+
+    cfg = TrainConfig(max_steps=30000)
+    s = scale_schedule(cfg, 4)
+    assert s.max_steps == 7500
+    assert s.sh_degree_interval == 250
+    assert s.densify.refine_start == 125
+    assert s.densify.refine_stop == 3750
+    assert s.densify.refine_every == 25
+    assert s.densify.reset_opacity_every == 750
+    # the scaled run reaches full SH degree and fires resets, like the full run
+    assert s.max_steps // s.sh_degree_interval == cfg.max_steps // cfg.sh_degree_interval
+    assert scale_schedule(cfg, 1) is cfg
+
+
+def test_distributed_masked_training(dp_setup):
+    """A masked capture with enableMultiGpu must actually train masked: the
+    masked step's loss includes the alpha term and differs from unmasked."""
+    params, images, viewmats, intrin, cfg = dp_setup
+    mesh = make_mesh(n_data=4, n_gauss=2)
+    params_d = shard_params(params, mesh)
+    adam = adam_init(params_d)
+    dstate = densify_state_init(params_d["means"].shape[0])
+    batch = jnp.asarray(images[:4])
+    vm = jnp.asarray(viewmats[:4])
+    K = jnp.asarray(intrin[:4])
+    cd = jnp.zeros((4, 6))
+    key = jax.random.PRNGKey(0)
+
+    plain = make_distributed_train_step(mesh, cfg, W, H, 0, scene_scale=2.0)
+    masked = make_distributed_train_step(mesh, cfg, W, H, 0, scene_scale=2.0,
+                                         use_masks=True)
+    _, _, _, m0, _ = plain(params_d, adam, dstate, batch, vm, K,
+                           jnp.zeros((4, 1, 1)), cd, jnp.asarray(0), key)
+    masks = jnp.ones((4, H, W)).at[:, : H // 2].set(0.0)
+    _, _, _, m1, _ = masked(params_d, adam, dstate, batch, vm, K, masks, cd,
+                            jnp.asarray(0), key)
+    assert np.isfinite(float(m1["loss"]))
+    assert abs(float(m1["loss"]) - float(m0["loss"])) > 1e-6
+
+    # and the DistributedTrainer threads masks end to end
+    from tpu_splat.mesh.trainer import DistributedTrainer
+
+    tr = DistributedTrainer(params, images[:4], viewmats[:4], intrin[:4],
+                            scene_scale=2.0, cfg=cfg, mesh=mesh,
+                            masks=np.asarray(masks))
+    tr.run(2)
+    assert tr.step == 2
+
+
+def test_distributed_camera_opt(dp_setup):
+    """Camera-pose optimization on the mesh: deltas receive updates."""
+    params, images, viewmats, intrin, cfg = dp_setup
+    mesh = make_mesh(n_data=4, n_gauss=2)
+    from tpu_splat.mesh.trainer import DistributedTrainer
+
+    tr = DistributedTrainer(params, images[:4], viewmats[:4], intrin[:4],
+                            scene_scale=2.0, cfg=cfg, mesh=mesh)
+    assert cfg.optimize_camera_poses
+    tr.run(3)
+    assert float(jnp.abs(tr.cam_deltas).max()) > 0.0
+    adj = tr.adjusted_viewmats()
+    assert adj.shape == (4, 4, 4)
+    assert np.abs(adj - np.asarray(viewmats[:4])).max() > 0.0
 
 
 def test_distributed_trainer_with_densify(dp_setup):

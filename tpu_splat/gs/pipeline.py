@@ -126,18 +126,18 @@ def train_splat(
         cfg = _replace(cfg, checkpoint_every=checkpoint_every)
 
     if distributed:
-        from dataclasses import replace as _replace
-
+        from tpu_splat.gs.trainer import scale_schedule
         from tpu_splat.mesh.trainer import DistributedTrainer
 
         trainer = DistributedTrainer(
             params, t_imgs, t_viewmats, t_intrin, scene_scale=scene_scale,
-            cfg=cfg, seed=seed, log_fn=log_fn,
+            cfg=cfg, seed=seed, masks=t_masks, log_fn=log_fn,
         )
-        # steps_scaler analog (main.py:1322-1338): each distributed step sees
-        # `batch` views, so the step count scales down by the data-parallel width
-        steps = max(max_steps // trainer.batch, 1)
-        trainer.cfg = _replace(cfg, max_steps=steps)
+        # gsplat steps_scaler semantics (main.py:1322-1338): each distributed
+        # step consumes `batch` views, so the step count AND every step-indexed
+        # milestone (SH ramp, densify window, opacity resets) shrink together.
+        trainer.cfg = scale_schedule(cfg, trainer.batch)
+        steps = trainer.cfg.max_steps
         if checkpoint_dir:
             trainer.checkpoint_dir = checkpoint_dir
             if resume:
@@ -150,7 +150,8 @@ def train_splat(
                         log_fn(f"checkpoint restore failed ({e}); "
                                f"training from scratch")
         trainer.run(steps - trainer.step)
-        eval_viewmats = viewmats
+        eval_viewmats = viewmats.copy()
+        eval_viewmats[train_idx] = trainer.adjusted_viewmats()
         eval_params = trainer.host_params()
     else:
         trainer = Trainer(

@@ -93,6 +93,33 @@ class TrainConfig:
         raise ValueError(f"unknown model {model!r}")
 
 
+def scale_schedule(cfg: TrainConfig, factor: int) -> TrainConfig:
+    """gsplat --steps_scaler semantics (reference main.py:1322-1338): when each
+    distributed step consumes `factor` views, shrink the step count AND every
+    step-indexed milestone by the same factor so the shortened run traverses
+    the identical schedule (SH ramp, densify window, opacity resets)."""
+    if factor <= 1:
+        return cfg
+
+    def f(v: int) -> int:
+        return max(int(v // factor), 1)
+
+    return replace(
+        cfg,
+        max_steps=f(cfg.max_steps),
+        sh_degree_interval=f(cfg.sh_degree_interval),
+        eval_every=f(cfg.eval_every),
+        checkpoint_every=f(cfg.checkpoint_every),
+        densify=replace(
+            cfg.densify,
+            refine_start=f(cfg.densify.refine_start),
+            refine_stop=f(cfg.densify.refine_stop),
+            refine_every=f(cfg.densify.refine_every),
+            reset_opacity_every=f(cfg.densify.reset_opacity_every),
+        ),
+    )
+
+
 def _lr_tree(cfg: TrainConfig, scene_scale: float, step: jnp.ndarray, max_steps: int):
     t = jnp.clip(step.astype(jnp.float32) / max_steps, 0.0, 1.0)
     decay = (cfg.lr_means_final / cfg.lr_means) ** t

@@ -58,34 +58,47 @@ def make_distributed_train_step(
     height: int,
     active_sh_degree: int,
     scene_scale: float,
+    use_masks: bool = False,
 ):
     """Build a jitted SPMD train step over the mesh.
 
     Signature: step_fn(params, adam, dstate, images (B,H,W,3), viewmats (B,4,4),
-    intrins (B,4), step, key) -> (params, adam, dstate, metrics).
+    intrins (B,4), masks (B,H,W), cam_deltas (B,6), step, key)
+    -> (params, adam, dstate, metrics, cam_grads (B,6)).
     B must be a multiple of the data-axis size; params/optimizer state are
-    sharded along "gauss", batch along "data".
+    sharded along "gauss", batch along "data". When use_masks is False the
+    masks argument is ignored (pass a (B,1,1) dummy); cam_grads are zero unless
+    cfg.optimize_camera_poses.
     """
     from tpu_splat.gs.losses import image_loss
     from tpu_splat.gs.projection import project_gaussians
     from tpu_splat.gs.render import render_view
-    from tpu_splat.gs.trainer import _lr_tree
+    from tpu_splat.gs.trainer import _lr_tree, apply_camera_delta
 
     n_gauss = mesh.shape["gauss"]
 
-    def per_view_loss(full_params, alive, image, viewmat, intrin, dummy, bg):
+    def per_view_loss(full_params, alive, image, viewmat, intrin, dummy, bg,
+                      mask, cam_delta):
+        vm = apply_camera_delta(viewmat, cam_delta)
         out = render_view(
             full_params["means"], full_params["scales"], full_params["quats"],
             full_params["opacities"], full_params["sh0"], full_params["shN"],
-            viewmat, intrin[0], intrin[1], intrin[2], intrin[3], width, height,
+            vm, intrin[0], intrin[1], intrin[2], intrin[3], width, height,
             sh_degree=active_sh_degree, background=bg,
             antialiased=cfg.antialiased, tile_size=cfg.tile_size,
             max_per_tile=cfg.max_per_tile, means2d_dummy=dummy, alive=alive,
         )
-        return image_loss(out.color, image, cfg.ssim_lambda), out
+        gt = image
+        alpha_loss = 0.0
+        if use_masks:
+            # same masked-capture semantics as the single-chip train_step
+            m = mask[..., None]
+            gt = gt * m + bg * (1.0 - m)
+            alpha_loss = jnp.mean(jnp.abs(out.alpha - mask))
+        return image_loss(out.color, gt, cfg.ssim_lambda) + 0.1 * alpha_loss, out
 
     def step_body(params_sh, mu_sh, nu_sh, count, grad_acc_sh, cnt_acc_sh,
-                  images, viewmats, intrins, step, key):
+                  images, viewmats, intrins, masks, cam_deltas, step, key):
         # params_sh: local gaussian shard (N/n_gauss rows). Gather full params
         # for rendering (the all-gather rides ICI).
         full = {
@@ -98,16 +111,25 @@ def make_distributed_train_step(
         bg = jax.random.uniform(jax.random.fold_in(key, jax.lax.axis_index("data")),
                                 (3,)) if cfg.random_background else jnp.zeros(3)
 
-        def batch_loss(trainable, dummy):
+        def batch_loss(trainable, dummy, cds):
             losses, outs = jax.vmap(
-                lambda im, vm, K: per_view_loss(trainable, alive, im, vm, K, dummy, bg)
-            )(images, viewmats, intrins)
+                lambda im, vm, K, mk, cd: per_view_loss(
+                    trainable, alive, im, vm, K, dummy, bg, mk, cd)
+            )(images, viewmats, intrins, masks, cds)
             return jnp.mean(losses), outs
 
         dummy = jnp.zeros((capacity, 2))
-        (loss, outs), grads = jax.value_and_grad(batch_loss, argnums=(0, 1),
-                                                 has_aux=True)(full, dummy)
-        pgrads, g2d = grads
+        if cfg.optimize_camera_poses:
+            (loss, outs), grads = jax.value_and_grad(
+                batch_loss, argnums=(0, 1, 2), has_aux=True
+            )(full, dummy, cam_deltas)
+            pgrads, g2d, cam_grads = grads
+        else:
+            (loss, outs), grads = jax.value_and_grad(
+                batch_loss, argnums=(0, 1), has_aux=True
+            )(full, dummy, cam_deltas)
+            pgrads, g2d = grads
+            cam_grads = jnp.zeros_like(cam_deltas)
         # average over the data axis
         loss = jax.lax.pmean(loss, "data")
         pgrads = jax.tree.map(lambda g: jax.lax.pmean(g, "data"), pgrads)
@@ -167,7 +189,8 @@ def make_distributed_train_step(
         cnt_acc_sh = cnt_acc_sh + vis.astype(jnp.float32)
 
         metrics = {"loss": loss}
-        return new_params_sh, new_mu, new_nu, new_count, grad_acc_sh, cnt_acc_sh, metrics
+        return (new_params_sh, new_mu, new_nu, new_count, grad_acc_sh,
+                cnt_acc_sh, metrics, cam_grads)
 
     from jax import shard_map
 
@@ -188,6 +211,8 @@ def make_distributed_train_step(
             P("data"),  # images
             P("data"),  # viewmats
             P("data"),  # intrins
+            P("data"),  # masks (or (B,1,1) dummy)
+            P("data"),  # cam deltas
             P(),  # step
             P(),  # key
         ),
@@ -199,22 +224,25 @@ def make_distributed_train_step(
             P("gauss"),
             P("gauss"),
             P(),
+            P("data"),  # cam grads
         ),
         check_vma=False,
     )
 
     @jax.jit
     def step_fn(params, adam: AdamState, dstate: DensifyState, images, viewmats,
-                intrins, step, key):
-        p, mu, nu, count, gacc, cacc, metrics = sharded(
+                intrins, masks, cam_deltas, step, key):
+        p, mu, nu, count, gacc, cacc, metrics, cam_grads = sharded(
             params, adam.mu, adam.nu, adam.count, dstate.grad_accum,
-            dstate.count_accum, images, viewmats, intrins, step, key,
+            dstate.count_accum, images, viewmats, intrins, masks, cam_deltas,
+            step, key,
         )
         return (
             p,
             AdamState(mu=mu, nu=nu, count=count),
             DensifyState(grad_accum=gacc, count_accum=cacc),
             metrics,
+            cam_grads,
         )
 
     return step_fn
