@@ -206,6 +206,49 @@ def test_remove_human_subject_component():
     assert np.abs(removed).max() < 1e-6
 
 
+def test_portrait_rotation_delivery(tmp_path):
+    """Portrait captures (H > W frames) deliver with the extra -90° y rotation
+    (reference Rotation-Pre-SPZ hook, main.py:2201-2240) so the splat stands
+    upright; landscape keeps the standard x:270,y:180 + mirror chain."""
+    from tpu_splat.core.config import JobConfig
+    from tpu_splat.core.types import GaussianCloud
+    from tpu_splat.core import spz as spz_codec
+    from tpu_splat.export.transforms import mirror_splat, rotate_splat
+    from tpu_splat.pipeline.component import PipelineContext
+    from tpu_splat.pipeline.runner import _export_spz
+
+    rng = np.random.default_rng(2)
+    n = 64
+    cloud = GaussianCloud(
+        means=jnp.asarray(rng.uniform(-1, 1, (n, 3)), jnp.float32),
+        scales=jnp.asarray(np.log(rng.uniform(0.01, 0.1, (n, 3))), jnp.float32),
+        quats=jnp.concatenate(
+            [jnp.ones((n, 1)), jnp.zeros((n, 3))], axis=1),
+        opacities=jnp.asarray(rng.normal(size=n), jnp.float32),
+        sh0=jnp.asarray(rng.normal(size=(n, 3)), jnp.float32),
+        shN=jnp.zeros((n, 0, 3)),
+    )
+
+    def deliver(images_shape, sub):
+        cfg = JobConfig(uuid="portrait-test")
+        assert cfg.training.rotate_splat
+        ctx = PipelineContext(cfg=cfg, out_dir=str(tmp_path / sub))
+        ctx["cfg"] = cfg
+        ctx["splat"] = cloud
+        ctx["images"] = np.zeros(images_shape, np.float32)
+        _export_spz(ctx)
+        return np.asarray(spz_codec.load_spz(ctx["artifacts"]["spz"]).means)
+
+    landscape = deliver((3, 64, 96, 3), "land")
+    portrait = deliver((3, 96, 64, 3), "port")
+    exp_land = mirror_splat(rotate_splat(cloud, "x:270,y:180"), "x")
+    exp_port = mirror_splat(rotate_splat(cloud, "x:270,y:90"), "x")
+    # SPZ quantizes to 12 fractional bits -> tolerance well above that
+    np.testing.assert_allclose(landscape, np.asarray(exp_land.means), atol=2e-3)
+    np.testing.assert_allclose(portrait, np.asarray(exp_port.means), atol=2e-3)
+    assert np.abs(landscape - portrait).max() > 0.1
+
+
 def test_train_splat_distributed(capture):
     """train_splat(distributed=True) runs on the 8-device CPU mesh and returns
     a cloud (the enableMultiGpu dispatch target)."""

@@ -116,6 +116,35 @@ def load_images_from_dir(path: str, resize_max_dim: Optional[int] = None,
     return np.stack(imgs), names[: len(imgs)]
 
 
+def exif_focal_px(image_path: str, width: int) -> Optional[float]:
+    """Focal length in pixels from EXIF metadata, or None.
+
+    Prefers FocalLengthIn35mmFilm (fx = width * f35 / 36mm); falls back to
+    FocalLength with a 7.0mm sensor-width guess (typical phone main camera) —
+    a rough seed that the mapper's self-calibration then refines (the
+    reference relies on COLMAP's EXIF reader + --refine_intrinsics the same
+    way, main.py:1090-1113)."""
+    try:
+        from PIL import Image
+
+        with Image.open(image_path) as im:
+            exif = im.getexif()
+            merged = dict(exif)
+            try:  # focal tags live in the ExifIFD sub-directory
+                merged.update(exif.get_ifd(0x8769))
+            except Exception:
+                pass
+    except Exception:
+        return None
+    f35 = merged.get(0xA405)  # FocalLengthIn35mmFilm
+    if f35:
+        return float(width) * float(f35) / 36.0
+    f_mm = merged.get(0x920A)  # FocalLength (rational or float)
+    if f_mm:
+        return float(width) * float(f_mm) / 7.0
+    return None
+
+
 def composite_alpha(img_bgra: np.ndarray, bg: int = 0) -> np.ndarray:
     """RGBA -> RGB compositing over a background (the reference converts RGBA
     inputs to RGB + mask, main.py:305)."""

@@ -253,6 +253,17 @@ def _media_to_images(ctx: PipelineContext):
     if len(images) < 3:
         raise PipelineError(705, f"need >= 3 frames, got {len(images)}")
     ctx["images"] = images
+    # EXIF focal seed for SfM self-calibration (photo inputs only)
+    if ctx.get("raw_dir") and ctx.get("image_names"):
+        from tpu_splat.ingest.video import exif_focal_px
+
+        fx = exif_focal_px(
+            os.path.join(ctx["raw_dir"], ctx["image_names"][0]),
+            images.shape[2],
+        )
+        if fx:
+            ctx["exif_fx"] = fx
+            pipe_logger(ctx)(f"EXIF focal seed: fx={fx:.1f}px")
 
 
 def _filter_blurry(ctx: PipelineContext):
@@ -434,10 +445,20 @@ def _sfm(ctx: PipelineContext):
 
     cfg: JobConfig = ctx["cfg"]
     images = ctx.require("images")
+    # Low-resolution captures (<400px) auto-enable the enhanced small-image
+    # recipe: 2x upsample before octave 0, 3 octaves, capped feature count —
+    # the default 4-octave no-upsample stack detects too few stable keypoints
+    # on small frames to sustain registration (the reference exposes the same
+    # switch as enableEnhancedFeatureExtraction for low-res media,
+    # main.py:967-971).
+    small = max(images.shape[1], images.shape[2]) < 400
     mcfg = MapperConfig(
         feature=FeatureConfig(
-            max_features=cfg.sfm.max_features_per_image,
-            upsample_first=cfg.sfm.enable_enhanced_feature_extraction,
+            max_features=(min(cfg.sfm.max_features_per_image, 1024) if small
+                          else cfg.sfm.max_features_per_image),
+            num_octaves=3 if small else 4,
+            upsample_first=(cfg.sfm.enable_enhanced_feature_extraction
+                            or small),
         ),
         matching_method=cfg.sfm.matching_method,
         exhaustive_max_images=cfg.sfm.exhaustive_matching_max_images,
@@ -458,7 +479,15 @@ def _sfm(ctx: PipelineContext):
 
             scene = run_global_sfm(images, mcfg, log_fn=pipe_logger(ctx))
         else:
-            scene = run_sfm(images, mcfg, log_fn=pipe_logger(ctx))
+            # EXIF focal (when present) seeds self-calibration; refinement
+            # stays ON either way (COLMAP mapper default behavior)
+            exif_fx = ctx.get("exif_fx")
+            if exif_fx:
+                from dataclasses import replace as _dc_replace
+
+                mcfg = _dc_replace(mcfg, refine_intrinsics=True)
+            scene = run_sfm(images, mcfg, fx=exif_fx, fy=exif_fx,
+                            log_fn=pipe_logger(ctx))
     except RuntimeError as e:
         raise PipelineError(755, str(e)) from e
     ctx["scene"] = scene
@@ -530,7 +559,9 @@ def _export_spz(ctx: PipelineContext):
     rotated x:270,y:180 and mirrored across x for web viewers; the delivered
     .ply then gets the reference's post-SPZ chain (rotate x:180,y:180 +
     mirror x applied to the pre-SPZ-oriented cloud, main.py:1554-1595), so
-    both artifacts match the reference deliverables byte-for-orientation."""
+    both artifacts match the reference deliverables byte-for-orientation.
+    Portrait captures get an extra -90° y rotation (main.py:2201-2240's
+    Rotation-Pre-SPZ hook) so the delivered splat stands upright."""
     from tpu_splat.export.transforms import mirror_splat, rotate_splat
 
     cfg: JobConfig = ctx["cfg"]
@@ -538,7 +569,12 @@ def _export_spz(ctx: PipelineContext):
     out = os.path.join(ctx["out_dir"], "exports")
     os.makedirs(out, exist_ok=True)
     if cfg.training.rotate_splat:
-        cloud = rotate_splat(cloud, "x:270,y:180")
+        y_deg = 180
+        images = ctx.get("images")
+        if images is not None and images.shape[1] > images.shape[2]:
+            y_deg -= 90  # portrait input: height > width
+            pipe_logger(ctx)("portrait capture detected: y rotation 180 -> 90")
+        cloud = rotate_splat(cloud, f"x:270,y:{y_deg}")
         cloud = mirror_splat(cloud, "x")
     spz_path = os.path.join(out, "splat.spz")
     spz_codec.save_spz(cloud, spz_path)
@@ -585,10 +621,17 @@ def _estimate_scale(ctx: PipelineContext):
 def _floorplan(ctx: PipelineContext):
     from tpu_splat.export.floorplan import extract_floorplan
 
+    # Gate on scale estimation having actually found a ground plane — a
+    # floorplan with made-up meters is worse than none (reference only runs
+    # extract_floorplan.py after estimate_scale succeeds).
+    scale = ctx.get("scale_m_per_unit", 0.0)
+    if not scale or scale <= 0.0:
+        pipe_logger(ctx)("floorplan: skipped (no scale estimate)")
+        return
     out = os.path.join(ctx["out_dir"], "exports")
     arts = extract_floorplan(
         np.asarray(ctx.require("splat").means),
-        scale_m_per_unit=ctx.get("scale_m_per_unit", 1.0),
+        scale_m_per_unit=scale,
         out_dir=out,
     )
     ctx.setdefault("artifacts", {}).update(arts)
