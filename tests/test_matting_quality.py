@@ -1,0 +1,59 @@
+"""Matting quality: IoU of predicted subject masks against ground truth on
+synthetic composites (foreground object moving over a distinct background).
+
+The reference ships learned matting (U2Net / SAM2, remove_background.py:254-268)
+whose quality is implicitly trusted; here the classical saliency path and the
+flow-propagation path get an explicit, regression-guarding number. bench.py
+reports the same IoU in its extra so regressions move a tracked metric.
+"""
+
+import numpy as np
+
+from tpu_splat.matting.remove import remove_background_batch
+
+
+def composite_scene(rng=None, n=6, h=120, w=160):
+    """Synthetic capture: a bright textured ellipse sliding over a dark,
+    low-texture background. Returns (images (N,H,W,3), gt_masks (N,H,W))."""
+    rng = rng or np.random.default_rng(3)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    images = np.zeros((n, h, w, 3), np.float32)
+    gt = np.zeros((n, h, w), np.float32)
+    bg = 0.18 + 0.04 * np.sin(xx / 23.0) * np.cos(yy / 17.0)
+    bg = np.stack([bg * 0.9, bg, bg * 1.1], axis=-1)
+    for i in range(n):
+        cx = w * (0.35 + 0.3 * i / max(n - 1, 1))
+        cy = h * 0.5 + 6 * np.sin(i)
+        d = ((xx - cx) / (0.22 * w)) ** 2 + ((yy - cy) / (0.3 * h)) ** 2
+        m = (d < 1.0).astype(np.float32)
+        tex = 0.75 + 0.2 * np.sin(xx / 5.0 + i) * np.sin(yy / 7.0)
+        fg = np.stack([tex, 0.55 * tex, 0.35 * tex], axis=-1)
+        img = bg * (1 - m[..., None]) + fg * m[..., None]
+        img += 0.01 * rng.standard_normal(img.shape)
+        images[i] = np.clip(img, 0, 1)
+        gt[i] = m
+    return images, gt
+
+
+def mask_iou(pred: np.ndarray, gt: np.ndarray) -> float:
+    p = pred > 0.5
+    g = gt > 0.5
+    inter = np.logical_and(p, g).sum()
+    union = np.logical_or(p, g).sum()
+    return float(inter) / max(float(union), 1.0)
+
+
+def matting_iou(model: str) -> float:
+    images, gt = composite_scene()
+    _, masks = remove_background_batch(images, model=model, keyframe_every=4)
+    return float(np.mean([mask_iou(masks[i], gt[i]) for i in range(len(images))]))
+
+
+def test_classical_matting_iou_floor():
+    iou = matting_iou("saliency")
+    assert iou > 0.6, f"classical saliency+GrabCut IoU {iou:.3f}"
+
+
+def test_flow_propagation_matting_iou_floor():
+    iou = matting_iou("sam2")
+    assert iou > 0.55, f"flow-propagation IoU {iou:.3f}"

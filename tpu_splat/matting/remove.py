@@ -78,10 +78,19 @@ def _grabcut_refine(img: np.ndarray, sal: np.ndarray, threshold: float) -> np.nd
     sw, sh = int(w * scale), int(h * scale)
     img8 = (np.clip(cv2.resize(img, (sw, sh)), 0, 1) * 255).astype(np.uint8)
     sal_s = cv2.resize(sal, (sw, sh))
+    # Adaptive seeding: the saliency scale varies per image, so a fixed cut
+    # starves GrabCut of foreground seeds (measured IoU 0.004 on synthetic
+    # composites with the fixed 0.6 cut). Otsu on the saliency histogram
+    # separates the subject mode; `threshold` biases it (higher -> stricter).
+    otsu, _ = cv2.threshold(
+        (sal_s * 255).astype(np.uint8), 0, 255,
+        cv2.THRESH_BINARY + cv2.THRESH_OTSU,
+    )
+    t = float(otsu) / 255.0 * (0.5 + threshold)
     mask = np.full((sh, sw), cv2.GC_PR_BGD, np.uint8)
-    mask[sal_s > threshold] = cv2.GC_PR_FGD
-    mask[sal_s > min(threshold + 0.25, 0.95)] = cv2.GC_FGD
-    mask[sal_s < 0.08] = cv2.GC_BGD
+    mask[sal_s > t] = cv2.GC_PR_FGD
+    mask[sal_s > min(0.5 * (t + sal_s.max()), 0.95)] = cv2.GC_FGD
+    mask[sal_s < 0.3 * t] = cv2.GC_BGD
     bgd = np.zeros((1, 65), np.float64)
     fgd = np.zeros((1, 65), np.float64)
     try:
