@@ -29,6 +29,13 @@ from urllib.parse import parse_qs, urlparse
 _STATIC = os.path.join(os.path.dirname(os.path.abspath(__file__)), "static")
 
 
+def _safe_segment(s: str) -> bool:
+    """True for path segments that cannot traverse out of the store: a URL
+    segment like `..` (or anything with a separator) in /artifacts/<uuid>/<n>
+    would otherwise escape workflow-output/."""
+    return bool(s) and s not in (".", "..") and "/" not in s and "\\" not in s
+
+
 class _State:
     """Server-side state: the output root (job store + artifacts) and the
     currently-running job subprocess, if any."""
@@ -176,6 +183,9 @@ def _make_handler(state: _State):
         def do_GET(self):
             url = urlparse(self.path)
             parts = [p for p in url.path.split("/") if p]
+            if not all(_safe_segment(p) for p in parts):
+                self._json(400, {"error": "bad path"})
+                return
             try:
                 if not parts:
                     self._static("index.html", "text/html")
@@ -212,6 +222,14 @@ def _make_handler(state: _State):
             parts = [p for p in url.path.split("/") if p]
             if parts[:2] != ["api", "jobs"]:
                 self._json(404, {"error": "not found"})
+                return
+            # Reject cross-origin submissions: any web page in the same browser
+            # could otherwise POST a job (drive-by subprocess launch). Same-
+            # origin requests carry either no Origin or one matching Host.
+            origin = self.headers.get("Origin")
+            host = self.headers.get("Host", "")
+            if origin is not None and urlparse(origin).netloc != host:
+                self._json(403, {"error": "cross-origin submit rejected"})
                 return
             length = int(self.headers.get("Content-Length", 0))
             try:
