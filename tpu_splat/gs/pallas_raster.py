@@ -47,13 +47,6 @@ def _pixel_coords(tile_id, tx: int, tile_size: int):
     return px, py
 
 
-def _tril_strict():
-    # strictly-lower-triangular ones (CHUNK x CHUNK): exclusive prefix operator
-    r = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
-    c = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
-    return (c < r).astype(jnp.float32)
-
-
 def _triu_inclusive():
     # upper-triangular ones incl. diagonal: inclusive suffix-sum operator
     r = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
@@ -61,8 +54,28 @@ def _triu_inclusive():
     return (c >= r).astype(jnp.float32)
 
 
+def _prefix_products(one_minus):
+    """(excl, total): exclusive prefix products of (CHUNK, P) along axis 0 and
+    the (1, P) full product — a Hillis-Steele doubling scan of multiplies
+    (7 roll+select+mul rounds). Replaces the earlier log/exp + triangular-
+    matmul formulation: same math, but zero transcendentals (the log/exp pair
+    was ~2/3 of the kernel's transcendental budget, which dominates its
+    runtime) and bitwise-closer to the reference cumprod."""
+    row = jax.lax.broadcasted_iota(jnp.int32, one_minus.shape, 0)
+    t = one_minus
+    s = 1
+    while s < CHUNK:
+        sh = pltpu.roll(t, shift=s, axis=0)
+        t = t * jnp.where(row < s, 1.0, sh)
+        s *= 2
+    excl = jnp.where(row < 1, 1.0, pltpu.roll(t, shift=1, axis=0))
+    return excl, t[CHUNK - 1 : CHUNK, :]
+
+
 def _chunk_alpha(blk, px, py):
-    """blk (CHUNK, C_PACK) -> (alpha (CHUNK, P), rgb (CHUNK,3), depth (CHUNK,1))."""
+    """blk (CHUNK, C_PACK) -> (alpha, live, alpha_raw), each (CHUNK, P).
+    alpha_raw (pre-clamp) is returned so the backward pass reuses it instead
+    of paying a second exp."""
     mx = blk[:, 0:1]
     my = blk[:, 1:2]
     ca = blk[:, 2:3]
@@ -76,7 +89,7 @@ def _chunk_alpha(blk, px, py):
     alpha = jnp.minimum(alpha_raw, MAX_ALPHA)
     live = (sigma >= 0.0) & (alpha_raw >= ALPHA_THRESHOLD)
     alpha = jnp.where(live, alpha, 0.0)
-    return alpha, live
+    return alpha, live, alpha_raw
 
 
 def _forward_kernel(packed_ref, out_ref, tstart_ref, *, k: int, tx: int,
@@ -96,18 +109,14 @@ def _forward_one(packed_ref, out_ref, tstart_ref, b, tile_id, k, tx, tile_size):
         # instead of re-sweeping, and uses tstart==0 to skip dead chunks
         tstart_ref[b, pl.ds(pl.multiple_of(c * P, P), P)] = trans[0]
         blk = packed_ref[:, b, pl.ds(pl.multiple_of(c * CHUNK, CHUNK), CHUNK)].T  # (CHUNK, C_PACK)
-        alpha, _ = _chunk_alpha(blk, px, py)
-        one_minus = 1.0 - alpha  # in [1 - MAX_ALPHA, 1] -> log is finite
-        log_om = jnp.log(one_minus)
-        # exclusive prefix product via a strictly-triangular matmul in log space
-        t_within = jnp.exp(
-            jnp.dot(_tril_strict(), log_om, preferred_element_type=jnp.float32)
-        )
+        alpha, _, _ = _chunk_alpha(blk, px, py)
+        one_minus = 1.0 - alpha
+        t_within, chunk_prod = _prefix_products(one_minus)
         w = alpha * t_within * trans  # (CHUNK, P)
         rgb = blk[:, 5:8]  # (CHUNK, 3)
         accum = accum + jnp.dot(rgb.T, w, preferred_element_type=jnp.float32)
         depth_acc = depth_acc + jnp.sum(w * blk[:, 9:10], axis=0, keepdims=True)
-        trans = trans * jnp.exp(jnp.sum(log_om, axis=0, keepdims=True))
+        trans = trans * chunk_prod
         return c + 1, accum, depth_acc, trans
 
     def cond(carry):
@@ -183,12 +192,9 @@ def _bwd_chunk(packed_ref, dpacked_ref, b, c, t_start, suffix, px, py,
                dC, dA, dD, t_final):
     """Gradient of one CHUNK of one tile; returns the updated suffix."""
     blk = packed_ref[:, b, pl.ds(pl.multiple_of(c * CHUNK, CHUNK), CHUNK)].T  # (CHUNK, C_PACK)
-    alpha, live = _chunk_alpha(blk, px, py)
+    alpha, live, alpha_raw = _chunk_alpha(blk, px, py)
     one_minus = 1.0 - alpha
-    log_om = jnp.log(one_minus)
-    t_within = jnp.exp(
-        jnp.dot(_tril_strict(), log_om, preferred_element_type=jnp.float32)
-    )
+    t_within, _ = _prefix_products(one_minus)
     t_i = t_within * t_start  # (CHUNK, P) transmittance before gaussian i
     w = alpha * t_i
 
@@ -207,7 +213,10 @@ def _bwd_chunk(packed_ref, dpacked_ref, b, c, t_start, suffix, px, py,
     # d alpha_i = T_i e_i - S_i/(1-alpha_i) + dA * T_final/(1-alpha_i)
     inv_om = 1.0 / jnp.maximum(one_minus, 1e-3)
     dalpha = t_i * e - s_after * inv_om + dA * t_final * inv_om
-    # chain through alpha = clamp(op*exp(-sigma)): zero where clamped/dead
+    # chain through alpha = clamp(op*exp(-sigma)): zero where clamped/dead.
+    # alpha_raw = op * exp(-max(sigma, 0)) from _chunk_alpha is reused for
+    # both the clamp test and d/dop (= exp(-sigma) = alpha_raw / op) — no
+    # second exp.
     mx = blk[:, 0:1]
     my = blk[:, 1:2]
     ca = blk[:, 2:3]
@@ -216,12 +225,11 @@ def _bwd_chunk(packed_ref, dpacked_ref, b, c, t_start, suffix, px, py,
     op = blk[:, 8:9]
     dx = px - mx
     dy = py - my
-    sigma = 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
-    ealpha = op * jnp.exp(-jnp.maximum(sigma, 0.0))
-    active = live & (ealpha < MAX_ALPHA)
+    active = live & (alpha_raw < MAX_ALPHA)
     dalpha = jnp.where(active, dalpha, 0.0)
     dsigma = -alpha * dalpha  # (CHUNK, P)
-    dop = jnp.sum(jnp.where(active, jnp.exp(-sigma) * dalpha, 0.0), axis=1)
+    exp_neg_sigma = alpha_raw / jnp.maximum(op, 1e-12)
+    dop = jnp.sum(jnp.where(active, exp_neg_sigma * dalpha, 0.0), axis=1)
 
     # gradients wrt conic and mean (sum over pixels)
     d_ca = jnp.sum(0.5 * dx * dx * dsigma, axis=1)
