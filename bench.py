@@ -163,9 +163,12 @@ def bench_sfm_throughput() -> float:
 
 
 def bench_mini_pipeline() -> dict:
-    """Fixed-seed mini ingest-to-splat: 12 rendered views, SfM + 400-step
-    training, held-out-protocol PSNR. Small by design — a stable round-over-
-    round quality/latency tracker, not a preset replica."""
+    """Fixed-seed mini ingest-to-splat: 16 rendered views, SfM + 800-step
+    training (past refine_start so densification is exercised), genuinely
+    held-out PSNR (eval_split holds out every 8th view at 16 views). Small by
+    design — a stable round-over-round quality/latency tracker, not a preset
+    replica. PSNR ratchet: r2 reported 10.61 (train-view, 400 steps); every
+    later round must beat the floor below on the held-out protocol."""
     import jax.numpy as jnp
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -179,10 +182,10 @@ def bench_mini_pipeline() -> dict:
     rng = np.random.default_rng(5)
     W = H = 160
     FX = 140.0
-    # 14 views: the registration-stable configuration (12 sparse views on this
-    # arc sit on a chain-bootstrap cliff where platform-level numeric jitter
-    # flips registrations — the tracker should measure speed/quality, not luck)
-    n = 14
+    # 18 views on the 240-degree arc: registration-stable (12 sparse views sit
+    # on a chain-bootstrap cliff) AND large enough that the eval split stays
+    # non-empty (needs >= 16 REGISTERED views) even if a couple of views drop.
+    n = 18
     cloud = make_textured_scene(rng)
     viewmats = ring_cameras(n_views=n)
     cams = Cameras(
@@ -205,15 +208,115 @@ def bench_mini_pipeline() -> dict:
     )
     scene = run_sfm(images, cfg, fx=FX, fy=FX, cx=W / 2, cy=H / 2)
     reg = np.asarray(scene.registered)
-    splat, metrics = train_splat(scene, images[reg], max_steps=400,
+    splat, metrics = train_splat(scene, images[reg], max_steps=800,
                                  downscale_factor=1)
     wall = time.time() - t0
+    assert metrics.get("eval_views", 0) > 0, "tracker PSNR must be held-out"
     return {"ingest_to_splat_s": round(wall, 1),
-            "psnr": round(metrics["psnr"], 2),
+            "psnr_heldout": round(metrics["psnr"], 2),
+            "eval_views": int(metrics["eval_views"]),
             "registered": int(reg.sum())}
 
 
+def bench_fast_preset() -> dict:
+    """North-star benchmark at fast-preset scale: a 150-frame 720p orbit
+    capture rendered from a known splat, through the REAL run_job path (SfM +
+    5K-step training + exports). Reports wall-clock and held-out PSNR next to
+    the reference's fast-preset envelope (A10G: 20-30 min incl. SfM,
+    GETTING_STARTED.md:168 / BASELINE.md). Run manually:
+        python bench.py --preset fast
+    The result is persisted to FAST_PRESET.json and surfaced in the default
+    bench output so the driver's BENCH_r{N} picks it up without re-running the
+    ~full-scale job every round."""
+    import shutil
+    import tempfile
+
+    import cv2
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from tests.test_sfm_e2e import make_textured_scene
+    from tpu_splat.cli.generate_splat import build_job_json
+    from tpu_splat.core.config import job_config_from_json
+    from tpu_splat.core.types import Cameras
+    from tpu_splat.gs.render import render_cloud
+    from tpu_splat.pipeline.runner import run_job
+
+    rng = np.random.default_rng(7)
+    W, H = 1280, 720
+    FX = 1050.0
+    n = 150
+    cloud = make_textured_scene(rng, n_gauss=12000)
+    mats = []
+    for ang in np.linspace(0, 2 * np.pi, n, endpoint=False):  # full orbit
+        eye = np.array([4.0 * np.cos(ang), 0.6, 4.0 * np.sin(ang)])
+        z = -eye / np.linalg.norm(eye)
+        up = np.array([0.0, -1.0, 0.0])
+        x = np.cross(up, z); x /= np.linalg.norm(x)
+        y = np.cross(z, x)
+        w2c = np.eye(4, dtype=np.float32)
+        w2c[:3, :3] = np.stack([x, y, z])
+        w2c[:3, 3] = -w2c[:3, :3] @ eye
+        mats.append(w2c)
+    viewmats = np.stack(mats)
+    cams = Cameras(
+        camtoworlds=jnp.asarray(np.linalg.inv(viewmats)),
+        fx=jnp.full((n,), FX), fy=jnp.full((n,), FX),
+        cx=jnp.full((n,), W / 2), cy=jnp.full((n,), H / 2),
+        distortion=jnp.zeros((n, 4)), width=W, height=H,
+    )
+    work = tempfile.mkdtemp(prefix="tpu_splat_fast_bench_")
+    img_dir = os.path.join(work, "images")
+    os.makedirs(img_dir)
+    for i in range(n):
+        img = np.asarray(render_cloud(cloud, cams, i,
+                                      background=jnp.full(3, 0.7),
+                                      max_per_tile=256).color)
+        cv2.imwrite(os.path.join(img_dir, f"frame_{i:04d}.png"),
+                    (np.clip(img[..., ::-1], 0, 1) * 255).astype(np.uint8))
+        if i % 25 == 0:
+            print(f"rendered {i}/{n} GT frames", file=sys.stderr, flush=True)
+
+    job = build_job_json(img_dir, output_path=os.path.join(work, "out"),
+                         preset="fast")
+    cfg = job_config_from_json(job)
+    t0 = time.time()
+    result = run_job(cfg, log_fn=lambda s: print(s, file=sys.stderr, flush=True))
+    wall = time.time() - t0
+    timings = result.timings
+    sfm_s = timings.get("SfM", 0.0)
+    train_s = timings.get("Train-Stage1", 0.0)
+    metrics = result.metrics
+    out = {
+        "wall_s": round(wall, 1),
+        "sfm_s": round(sfm_s, 1),
+        "train_s": round(train_s, 1),
+        "sfm_img_s": round(n / sfm_s, 2) if sfm_s else None,
+        "it_s": round(5000.0 / train_s, 2) if train_s else None,
+        "psnr_heldout": round(metrics.get("psnr", 0.0), 2),
+        "eval_views": int(metrics.get("eval_views", 0)),
+        "n_frames": n,
+        "steps": 5000,
+        "ref_envelope_s": "1200-1800 (A10G fast preset incl. SfM)",
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "FAST_PRESET.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 def main():
+    if "--preset" in sys.argv:
+        out = bench_fast_preset()
+        print(json.dumps({
+            "metric": "fast_preset_ingest_to_splat_wall_s",
+            "value": out["wall_s"], "unit": "s (150 frames, 720p, 5K steps)",
+            "vs_baseline": round(1500.0 / out["wall_s"], 3),
+            "extra": out,
+        }))
+        return
+
     its = bench_train_throughput()
     extra = {}
     if os.environ.get("BENCH_TRAIN_ONLY", "0") != "1":
@@ -225,6 +328,19 @@ def main():
             extra.update(bench_mini_pipeline())
         except Exception as e:
             extra["mini_pipeline"] = f"error: {e}"
+        try:
+            sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+            from tests.test_matting_quality import matting_iou
+
+            extra["matting_iou"] = {m: round(matting_iou(m), 3)
+                                    for m in ("saliency", "sam2")}
+        except Exception as e:
+            extra["matting_iou"] = f"error: {e}"
+        fp = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "FAST_PRESET.json")
+        if os.path.exists(fp):  # recorded `--preset fast` run (see above)
+            with open(fp) as f:
+                extra["fast_preset"] = json.load(f)
 
     print(json.dumps({
         "metric": "3dgs_train_iters_per_sec_per_chip",

@@ -19,6 +19,10 @@ def bench_scan(fn, args, n=20, name=""):
     import jax
     import jax.numpy as jnp
 
+    only = os.environ.get("PROFILE_ONLY", "")
+    if only and not any(tok in name for tok in only.split(",")):
+        return 0.0
+
     @jax.jit
     def run(args):
         def body(carry, i):
@@ -32,11 +36,12 @@ def bench_scan(fn, args, n=20, name=""):
     t0 = time.time()
     _ = float(run(args))
     dt = (time.time() - t0) / n * 1000
-    print(f"{name:42s} {dt:8.2f} ms")
+    print(f"{name:42s} {dt:8.2f} ms", flush=True)
     return dt
 
 
 def main():
+    import scripts._jaxcache  # noqa: F401  (persistent compile cache)
     import jax
     import jax.numpy as jnp
 
@@ -189,6 +194,10 @@ def main():
                                 i, jax.random.fold_in(key, i), 2.0, cfg,
                                 width, height, 3)
         return m["loss"] + jnp.sum(p["means"][0])
+
+    if os.environ.get("PROFILE_ONLY", "") and \
+            "FULL" not in os.environ.get("PROFILE_ONLY", ""):
+        return
 
     import jax as _jax
 
