@@ -90,6 +90,10 @@ def bench_train_throughput() -> float:
     viewmats, intrins, images = ring_views(n_views, width, height, rng)
 
     cfg = TrainConfig(max_steps=30000, sh_degree=3, random_background=False)
+    if os.environ.get("BENCH_K"):  # per-tile capacity sweep knob
+        from dataclasses import replace as _dc_replace
+
+        cfg = _dc_replace(cfg, max_per_tile=int(os.environ["BENCH_K"]))
     adam = adam_init(params)
     dstate = densify_state_init(capacity)
     key = jax.random.PRNGKey(0)
@@ -124,7 +128,7 @@ def bench_sfm_throughput() -> float:
     import jax
 
     from tpu_splat.sfm.features import FeatureConfig
-    from tpu_splat.sfm.matching import match_descriptors
+
 
     rng = np.random.default_rng(1)
     n_imgs = 24
@@ -144,19 +148,21 @@ def bench_sfm_throughput() -> float:
     ])
 
     from tpu_splat.sfm.features import extract_features_batch
+    from tpu_splat.sfm.matching import match_descriptors_pairs
 
     fcfg = FeatureConfig(max_features=2048)
-    # warm the jit caches (compile ~60s on TPU) before timing throughput
-    extract_features_batch(jnp.asarray(images[:8]), fcfg, size, size)
+    pairs = np.array([(i, j) for i in range(n_imgs - 1)
+                      for j in range(i + 1, min(i + 4, n_imgs))])
+    # warm the jit caches (compile ~60s on TPU) before timing throughput;
+    # the matcher takes the full (n_imgs, K, 128) table as an operand, so the
+    # warm-up must run at the real image count to hit the same compiled shape
+    fbw = extract_features_batch(jnp.asarray(images), fcfg, size, size)
+    match_descriptors_pairs(fbw.descriptor, fbw.valid, pairs[:4])
     t0 = time.time()
     fb = extract_features_batch(jnp.asarray(images), fcfg, size, size)
-    feats = [jax.tree.map(lambda a: a[i], fb) for i in range(n_imgs)]
-    total = 0.0
-    for i in range(n_imgs - 1):
-        for j in range(i + 1, min(i + 4, n_imgs)):
-            m = match_descriptors(feats[i].descriptor, feats[i].valid,
-                                  feats[j].descriptor, feats[j].valid)
-            total += float(jnp.sum(m.valid))  # host sync per pair
+    # matching runs as the mapper does it: chunked vmapped pair dispatches
+    mb = match_descriptors_pairs(fb.descriptor, fb.valid, pairs)
+    total = float(jnp.sum(mb.valid))  # host sync
     dt = time.time() - t0
     assert total > 0, "matcher produced zero matches on the synthetic set"
     return n_imgs / dt

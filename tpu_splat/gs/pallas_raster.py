@@ -47,11 +47,11 @@ def _pixel_coords(tile_id, tx: int, tile_size: int):
     return px, py
 
 
-def _triu_inclusive():
-    # upper-triangular ones incl. diagonal: inclusive suffix-sum operator
+def _triu_strict():
+    # strictly-upper-triangular ones (diag excluded): strict suffix-sum operator
     r = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
     c = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
-    return (c >= r).astype(jnp.float32)
+    return (c > r).astype(jnp.float32)
 
 
 def _prefix_products(one_minus):
@@ -114,7 +114,11 @@ def _forward_one(packed_ref, out_ref, tstart_ref, b, tile_id, k, tx, tile_size):
         t_within, chunk_prod = _prefix_products(one_minus)
         w = alpha * t_within * trans  # (CHUNK, P)
         rgb = blk[:, 5:8]  # (CHUNK, 3)
-        accum = accum + jnp.dot(rgb.T, w, preferred_element_type=jnp.float32)
+        # HIGHEST: exact f32 color accumulation (the MXU default rounds inputs
+        # to bf16 — 4e-3 relative color error); the contraction is only 3 wide
+        # on one side, so the multi-pass decomposition is ~free
+        accum = accum + jnp.dot(rgb.T, w, preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.HIGHEST)
         depth_acc = depth_acc + jnp.sum(w * blk[:, 9:10], axis=0, keepdims=True)
         trans = trans * chunk_prod
         return c + 1, accum, depth_acc, trans
@@ -200,15 +204,27 @@ def _bwd_chunk(packed_ref, dpacked_ref, b, c, t_start, suffix, px, py,
 
     rgb = blk[:, 5:8]  # (CHUNK, 3)
     dep = blk[:, 9:10]
-    # e_i = c_i . dC + depth_i * dD per pixel
-    e = jnp.dot(rgb, dC, preferred_element_type=jnp.float32) + dep * dD  # (CHUNK, P)
+    # e_i = c_i . dC + depth_i * dD per pixel — depth-3 contraction as
+    # broadcast multiply-adds (exact f32 on the VPU; see _suffix_sums note)
+    e = (rgb[:, 0:1] * dC[0:1, :] + rgb[:, 1:2] * dC[1:2, :]
+         + rgb[:, 2:3] * dC[2:3, :] + dep * dD)  # (CHUNK, P)
     we = w * e
-    # suffix within the chunk: S_i = sum_{j>i in chunk} w_j e_j + suffix_after
-    # strict suffix sums via an upper-triangular matmul (diag excluded)
-    s_after = jnp.dot(
-        _triu_inclusive() - jnp.eye(CHUNK, dtype=jnp.float32), we,
-        preferred_element_type=jnp.float32,
-    ) + suffix
+    # Suffix within the chunk: S_i = sum_{j>i in chunk} w_j e_j + suffix_after
+    # (strict suffix sums via a triangular matmul). The MXU's default one-pass
+    # bf16 input rounding puts ~1e-3 relative error on the conic/opacity
+    # gradients (caught by the parity harness); Mosaic supports neither
+    # Precision.HIGH nor HIGHEST-without-cost, so split the operand into
+    # bf16 hi + lo halves and run two one-pass matmuls — the 0/1 triangular
+    # matrix is bf16-exact, so the result is f32-accurate to ~2^-16 at 2x the
+    # one-pass cost (an exact VPU roll-based suffix scan measured +6ms/step).
+    we_hi = we.astype(jnp.bfloat16).astype(jnp.float32)
+    we_lo = we - we_hi
+    tri = _triu_strict()
+    s_after = (
+        jnp.dot(tri, we_hi, preferred_element_type=jnp.float32)
+        + jnp.dot(tri, we_lo, preferred_element_type=jnp.float32)
+        + suffix
+    )
 
     # d alpha_i = T_i e_i - S_i/(1-alpha_i) + dA * T_final/(1-alpha_i)
     inv_om = 1.0 / jnp.maximum(one_minus, 1e-3)
@@ -241,7 +257,8 @@ def _bwd_chunk(packed_ref, dpacked_ref, b, c, t_start, suffix, px, py,
     d_mx = -jnp.sum(gx * dsigma, axis=1)
     d_my = -jnp.sum(gy * dsigma, axis=1)
 
-    d_rgb = jnp.dot(w, dC.T, preferred_element_type=jnp.float32)  # (CHUNK, 3)
+    d_rgb = jnp.dot(w, dC.T, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)  # (CHUNK, 3)
     d_dep = jnp.sum(w * dD, axis=1)
 
     grad_blk = jnp.concatenate(
@@ -371,7 +388,9 @@ def composite_tiles_reference(packed: jnp.ndarray, tx: int, ty: int,
         cum = jnp.cumprod(one_minus, axis=1)
         t_within = jnp.concatenate([jnp.ones_like(cum[:, :1]), cum[:, :-1]], axis=1)
         w = alpha * t_within * trans[:, None, :]
-        accum = accum + jnp.einsum("tkp,tkc->tcp", w, blk[:, :, 5:8])
+        # exact f32 (matches the kernel's HIGHEST dots; no-op on CPU)
+        accum = accum + jnp.einsum("tkp,tkc->tcp", w, blk[:, :, 5:8],
+                                   precision=jax.lax.Precision.HIGHEST)
         depth_acc = depth_acc + jnp.sum(w * blk[:, :, 9:10], axis=1)
         trans = trans * cum[:, -1, :]
         return (accum, depth_acc, trans), None
