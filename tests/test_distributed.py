@@ -129,6 +129,29 @@ def test_scale_schedule():
     assert scale_schedule(cfg, 1) is cfg
 
 
+def test_effective_cfg_capacity_schedule():
+    """Post-opacity-reset capacity boost: K rises to post_reset_max_per_tile
+    for exactly post_reset_recover_steps after each reset inside the densify
+    window, and nowhere else (K=256 is bit-exact in the trained regime; only
+    the post-reset regime still carries light in deep slots — exp_ksweep)."""
+    from tpu_splat.gs.trainer import effective_cfg
+
+    cfg = TrainConfig(max_steps=30000)
+    d = cfg.densify
+    assert cfg.max_per_tile == 256 and cfg.post_reset_max_per_tile == 512
+    reset = (d.refine_start // d.reset_opacity_every + 1) * d.reset_opacity_every
+    assert d.refine_start <= reset < d.refine_stop
+    # outside any window: untouched (same object -> no recompile)
+    assert effective_cfg(cfg, reset - 1) is cfg
+    assert effective_cfg(cfg, 0) is cfg
+    # inside the window: boosted
+    for s in (reset, reset + 1, reset + cfg.post_reset_recover_steps - 1):
+        assert effective_cfg(cfg, s).max_per_tile == 512
+    assert effective_cfg(cfg, reset + cfg.post_reset_recover_steps) is cfg
+    # resets before refine_start / after refine_stop never fire -> no boost
+    assert effective_cfg(cfg, d.refine_stop + 1).max_per_tile == 256
+
+
 def test_distributed_masked_training(dp_setup):
     """A masked capture with enableMultiGpu must actually train masked: the
     masked step's loss includes the alpha term and differs from unmasked."""

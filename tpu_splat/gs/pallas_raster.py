@@ -35,6 +35,12 @@ C_PACK = 16
 CHUNK = 128  # gaussians per inner step; lane-aligned so the packed (16, T, K)
 # blocks can be sliced along K, and the triangular prefix ops use full MXU tiles
 P = 256  # pixels per 16x16 tile
+# Stop compositing a tile once every pixel's transmittance is below this
+# (classic 3DGS saturation exit). The reference applies the identical
+# tile-level gate so CPU/TPU semantics (and the parity harness) stay exact.
+# Raising to 1e-3 was measured a no-op for speed — the chunk-quantized exit
+# almost never moves a chunk boundary — so the conservative value stays.
+TERM_THRESHOLD = 1e-4
 
 
 def _pixel_coords(tile_id, tx: int, tile_size: int):
@@ -125,7 +131,7 @@ def _forward_one(packed_ref, out_ref, tstart_ref, b, tile_id, k, tx, tile_size):
 
     def cond(carry):
         c, _, _, trans = carry
-        return (c < n_chunks) & (jnp.max(trans) > 1e-4)
+        return (c < n_chunks) & (jnp.max(trans) > TERM_THRESHOLD)
 
     init = (
         jnp.int32(0),
@@ -370,6 +376,11 @@ def composite_tiles_reference(packed: jnp.ndarray, tx: int, ty: int,
 
     def body(carry, blk):
         accum, depth_acc, trans = carry
+        # tile-level early-termination gate, identical to the kernel's
+        # while-loop exit: once every pixel of a tile is saturated the
+        # remaining chunks contribute nothing (not even epsilon — the kernel
+        # hard-stops, so the reference must too for exact parity)
+        tile_on = (jnp.max(trans, axis=1) > TERM_THRESHOLD)[:, None, None]
         # blk: (T, CHUNK, 16)
         mx = blk[:, :, 0:1]
         my = blk[:, :, 1:2]
@@ -387,12 +398,12 @@ def composite_tiles_reference(packed: jnp.ndarray, tx: int, ty: int,
         one_minus = 1.0 - alpha
         cum = jnp.cumprod(one_minus, axis=1)
         t_within = jnp.concatenate([jnp.ones_like(cum[:, :1]), cum[:, :-1]], axis=1)
-        w = alpha * t_within * trans[:, None, :]
+        w = alpha * t_within * trans[:, None, :] * tile_on
         # exact f32 (matches the kernel's HIGHEST dots; no-op on CPU)
         accum = accum + jnp.einsum("tkp,tkc->tcp", w, blk[:, :, 5:8],
                                    precision=jax.lax.Precision.HIGHEST)
         depth_acc = depth_acc + jnp.sum(w * blk[:, :, 9:10], axis=1)
-        trans = trans * cum[:, -1, :]
+        trans = jnp.where(tile_on[:, 0], trans * cum[:, -1, :], trans)
         return (accum, depth_acc, trans), None
 
     n_chunks = k // CHUNK

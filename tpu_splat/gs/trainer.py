@@ -50,7 +50,18 @@ class TrainConfig:
     densify: DensifyConfig = field(default_factory=DensifyConfig)
     strategy: str = "default"  # default | mcmc
     mcmc: "mcmc_mod.MCMCConfig" = field(default_factory=lambda: mcmc_mod.MCMCConfig())
-    max_per_tile: int = 512
+    # Per-tile rasterizer capacity. 256 is bit-exact against an uncapped
+    # render in the trained regime — the saturation exit fires before deeper
+    # slots can matter (measured: scripts/exp_ksweep.py, 120dB vs K=1024 on a
+    # tile-occupancy-~970 workload) — and runs ~1.45x faster than 512. The
+    # one regime where deep slots still carry light is the window right after
+    # an opacity reset (nothing saturates at op=0.01), so the capacity
+    # temporarily rises to post_reset_max_per_tile there (gsplat's CUDA
+    # rasterizer is uncapped, main.py:1317-1347; this keeps its fidelity
+    # where it matters without paying for it everywhere).
+    max_per_tile: int = 256
+    post_reset_max_per_tile: int = 512
+    post_reset_recover_steps: int = 500
     tile_size: int = 16
     random_background: bool = True
     scale_reg_weight: float = 0.0  # splatfacto use_scale_regularization analog
@@ -110,6 +121,7 @@ def scale_schedule(cfg: TrainConfig, factor: int) -> TrainConfig:
         sh_degree_interval=f(cfg.sh_degree_interval),
         eval_every=f(cfg.eval_every),
         checkpoint_every=f(cfg.checkpoint_every),
+        post_reset_recover_steps=f(cfg.post_reset_recover_steps),
         densify=replace(
             cfg.densify,
             refine_start=f(cfg.densify.refine_start),
@@ -118,6 +130,22 @@ def scale_schedule(cfg: TrainConfig, factor: int) -> TrainConfig:
             reset_opacity_every=f(cfg.densify.reset_opacity_every),
         ),
     )
+
+
+def effective_cfg(cfg: TrainConfig, step: int) -> TrainConfig:
+    """The config to run `step` with: within post_reset_recover_steps of an
+    opacity reset the per-tile capacity rises to post_reset_max_per_tile (see
+    the TrainConfig.max_per_tile note). Returns cfg itself outside the window
+    so jit sees one static config per phase."""
+    d = cfg.densify
+    if cfg.post_reset_max_per_tile <= cfg.max_per_tile or \
+            d.reset_opacity_every <= 0:
+        return cfg
+    last_reset = (step // d.reset_opacity_every) * d.reset_opacity_every
+    if (d.refine_start <= last_reset < d.refine_stop and last_reset > 0
+            and step - last_reset < cfg.post_reset_recover_steps):
+        return replace(cfg, max_per_tile=cfg.post_reset_max_per_tile)
+    return cfg
 
 
 def _lr_tree(cfg: TrainConfig, scene_scale: float, step: jnp.ndarray, max_steps: int):
@@ -306,12 +334,13 @@ class Trainer:
             image = jnp.asarray(self.images[view])
             mask = (jnp.asarray(self.masks[view])
                     if self.masks is not None else None)
+            step_cfg = effective_cfg(cfg, self.step)
             if cfg.optimize_camera_poses:
                 (self.params, self.adam, self.dstate, metrics,
                  cam_grad) = train_step(
                     self.params, self.adam, self.dstate, image,
                     self.viewmats[view], self.intrinsics[view],
-                    jnp.asarray(self.step), sub, self.scene_scale, cfg,
+                    jnp.asarray(self.step), sub, self.scene_scale, step_cfg,
                     self.width, self.height, self._active_sh_degree(),
                     cam_delta=self.cam_deltas[view], mask=mask,
                 )
@@ -320,7 +349,7 @@ class Trainer:
                 self.params, self.adam, self.dstate, metrics = train_step(
                     self.params, self.adam, self.dstate, image,
                     self.viewmats[view], self.intrinsics[view],
-                    jnp.asarray(self.step), sub, self.scene_scale, cfg,
+                    jnp.asarray(self.step), sub, self.scene_scale, step_cfg,
                     self.width, self.height, self._active_sh_degree(),
                     mask=mask,
                 )

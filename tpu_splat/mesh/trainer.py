@@ -61,8 +61,7 @@ class DistributedTrainer:
         self.params = shard_params(params, self.mesh)
         self.adam = adam_init(self.params)
         self.dstate = densify_state_init(params["means"].shape[0])
-        self._step_fn = None
-        self._sh_deg = -1
+        self._step_fn = {}
         self.checkpoint_dir: Optional[str] = None
         n_views = images.shape[0]
         self.cam_deltas = jnp.zeros((n_views, 6))
@@ -70,14 +69,18 @@ class DistributedTrainer:
         self._cam_nu = jnp.zeros((n_views, 6))
 
     def _get_step_fn(self):
+        from tpu_splat.gs.trainer import effective_cfg
+
         deg = min(self.step // self.cfg.sh_degree_interval, self.cfg.sh_degree)
-        if self._step_fn is None or deg != self._sh_deg:
-            self._sh_deg = deg
-            self._step_fn = make_distributed_train_step(
-                self.mesh, self.cfg, self.width, self.height, deg,
+        cfg = effective_cfg(self.cfg, self.step)  # post-reset capacity boost
+        key = (deg, cfg.max_per_tile)
+        if key not in self._step_fn:  # cache per phase — the capacity boost
+            # alternates every reset cycle and must not recompile each time
+            self._step_fn[key] = make_distributed_train_step(
+                self.mesh, cfg, self.width, self.height, deg,
                 self.scene_scale, use_masks=self.masks is not None,
             )
-        return self._step_fn
+        return self._step_fn[key]
 
     def run(self, steps: int):
         cfg = self.cfg
