@@ -16,12 +16,16 @@ from tpu_splat.gs.sh import SH_C0, eval_sh_basis
 
 
 def brute_force_raster(means2d, conics, colors, opacities, depths, radii,
-                       width, height, tile_size=16, background=None):
+                       width, height, tile_size=16, background=None,
+                       order_depths=None):
     """Per-pixel reference compositor (numpy). Applies the same tile-bbox support
-    region as the tile rasterizer so outputs match exactly."""
+    region as the tile rasterizer so outputs match exactly. `order_depths`
+    decouples sort order from composited depth values (the rasterizer orders by
+    the original f32 depths while compositing the pack-quantized ones)."""
     means2d, conics, colors = map(np.asarray, (means2d, conics, colors))
     opacities, depths, radii = map(np.asarray, (opacities, depths, radii))
-    order = np.argsort(np.where(radii > 0, depths, np.inf), kind="stable")
+    od = depths if order_depths is None else np.asarray(order_depths)
+    order = np.argsort(np.where(radii > 0, od, np.inf), kind="stable")
     img = np.zeros((height, width, 3))
     acc_d = np.zeros((height, width))
     trans = np.ones((height, width))
@@ -83,8 +87,16 @@ class TestRasterizeParity:
         bg = np.array([0.1, 0.2, 0.3], np.float32)
         out = rasterize(*[jnp.asarray(a) for a in args], width=w, height=h,
                         background=jnp.asarray(bg), max_per_tile=128)
-        ref_img, ref_alpha, ref_d = brute_force_raster(*args, width=w, height=h,
-                                                       background=bg)
+        # the packing gather rides a bf16 encoding — give the brute-force
+        # reference the identically-rounded values so the comparison stays
+        # exact-f32-compositing vs exact-f32-compositing
+        from tpu_splat.gs.rasterize import pack_quantization
+
+        q = [np.asarray(a) for a in pack_quantization(
+            *[jnp.asarray(a) for a in args[:5]])]
+        ref_img, ref_alpha, ref_d = brute_force_raster(
+            *q, args[5], width=w, height=h, background=bg,
+            order_depths=args[4])
         np.testing.assert_allclose(np.asarray(out.color), ref_img, atol=1e-4)
         np.testing.assert_allclose(np.asarray(out.alpha), ref_alpha, atol=1e-4)
         np.testing.assert_allclose(np.asarray(out.depth), ref_d, atol=1e-3)

@@ -119,8 +119,11 @@ def tile_gaussians(
                       sentinel | rank_u[:, None]).reshape(-1)
 
     # Tier 2: full coverage grid for a capped set of large gaussians.
-    k_big = max(n // 64, 512)
-    big_order = jnp.argsort(~big)[:k_big]  # original ids, big first
+    k_big = min(max(n // 64, 512), n)
+    # big-first original ids via top_k (partial selection beats the former
+    # full argsort of N bools; order within the big set is irrelevant — the
+    # slots_big/feat[big_order] mapping is internally consistent either way)
+    _, big_order = jax.lax.top_k(big.astype(jnp.float32), k_big)
     is_big_slot = big[big_order]
     m2 = MAX_COVER_X * MAX_COVER_Y
     dx2 = jnp.arange(m2, dtype=jnp.int32) % MAX_COVER_X
@@ -198,6 +201,17 @@ def _use_pallas() -> bool:
     return jax.default_backend() not in ("cpu",)
 
 
+def pack_quantization(means2d, conics, colors, opacities, depths):
+    """The value rounding the bf16 gather layout applies (exposed so tests can
+    quantize reference-renderer inputs identically). means2d ride as a bf16
+    hi+lo pair (~16-bit mantissa, <=0.02px at 4K); everything else is plain
+    bf16 (2^-8 relative — under the 8-bit display floor of 1/255)."""
+    deq = lambda x: x.astype(jnp.bfloat16).astype(jnp.float32)
+    hi = deq(means2d)
+    m2d = hi + deq(means2d - hi)
+    return m2d, deq(conics), deq(colors), deq(opacities), deq(depths)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
 def _pack_gather(feat, gidx_ext, slots_small, slots_big, big_order, tk: int):
     """Gather feature rows into channel-major (16, T, K) tile blocks.
@@ -207,12 +221,35 @@ def _pack_gather(feat, gidx_ext, slots_small, slots_big, big_order, tk: int):
     payload. Channel-major keeps K on the 128-lane axis — a trailing dim of 16
     wastes 7/8 of HBM bandwidth on every DMA. The custom VJP turns the gradient
     scatter-add (slow on TPU) into gathers via the precomputed inverse slot
-    maps."""
-    feat_ext = jnp.concatenate(
-        [feat, feat[big_order], jnp.zeros_like(feat[:1])], axis=0
+    maps.
+
+    The gather itself runs on a bf16 re-encoding of the rows: a narrow (N,16)
+    table pads to 128 HBM lanes either way, so halving the element size halves
+    the padded bytes every row-gather actually reads. means2d are split into
+    bf16 hi+lo channels (reconstructed to ~16-bit-mantissa f32 after the
+    gather); the remaining channels round to bf16 — the exact rounding is
+    exposed as pack_quantization(). The VJP treats the rounding as identity
+    (straight-through), which is exact up to 2^-8 on individual per-pair
+    contributions — the same quantization the gradient route below already
+    applies."""
+    # encode (f32 16ch) -> (bf16 16ch): 0 mx_hi 1 my_hi 2 mx_lo 3 my_lo
+    # 4:6 conic(a,b) 6 conic(c) 7:10 rgb 10 op 11 depth 12:16 pad
+    f16 = feat.astype(jnp.bfloat16)
+    lo = (feat[:, 0:2] - f16[:, 0:2].astype(jnp.float32)).astype(jnp.bfloat16)
+    enc = jnp.concatenate(
+        [f16[:, 0:2], lo, f16[:, 2:10], jnp.zeros_like(f16[:, :4])], axis=1
+    )
+    enc_ext = jnp.concatenate(
+        [enc, enc[big_order], jnp.zeros_like(enc[:1])], axis=0
     )
     t, k = gidx_ext.shape
-    return feat_ext[gidx_ext.reshape(-1)].T.reshape(feat.shape[1], t, k)
+    g = enc_ext[gidx_ext.reshape(-1)].T.reshape(feat.shape[1], t, k)
+    gf = g.astype(jnp.float32)
+    # decode back to the kernel layout: mean2d = hi + lo, rest passthrough
+    return jnp.concatenate(
+        [gf[0:2] + gf[2:4], gf[4:12],
+         jnp.zeros_like(gf[0:6])], axis=0
+    )
 
 
 def _pack_gather_fwd(feat, gidx_ext, slots_small, slots_big, big_order, tk):
