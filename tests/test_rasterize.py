@@ -216,3 +216,45 @@ class TestSH:
         basis = np.asarray(eval_sh_basis(3, jnp.asarray(v, dtype=jnp.float32)))
         gram = 4 * np.pi * (basis.T @ basis) / v.shape[0]
         np.testing.assert_allclose(gram, np.eye(16), atol=0.05)
+
+
+class TestPackGatherVJP:
+    def test_matches_plain_autodiff(self, rng):
+        """The custom VJP (inverse-slot gather route, bf16 internals) must
+        agree with plain autodiff through an equivalent quantized gather —
+        a gather's gradient is value-independent, so the straight-through
+        treatment of the bf16 rounding is exact up to the route's own bf16
+        accumulation quantization."""
+        from tpu_splat.gs.rasterize import _pack_gather, tile_gaussians
+
+        n, width, height, k = 512, 96, 64, 128
+        means2d = jnp.asarray(np.stack(
+            [rng.uniform(-10, width + 10, n),
+             rng.uniform(-10, height + 10, n)], 1), jnp.float32)
+        depths = jnp.asarray(rng.uniform(0.1, 10, n), jnp.float32)
+        radii = jnp.asarray(np.where(rng.uniform(size=n) < 0.9,
+                                     rng.uniform(1, 30, n), 0.0), jnp.float32)
+        gidx, gvalid, ss, sb, bo = tile_gaussians(
+            means2d, depths, radii, width, height, 16, k)
+        t_total = gidx.shape[0]
+        feat = jnp.asarray(rng.standard_normal((n, 16)), jnp.float32)
+        gidx_ext = jnp.where(gvalid, gidx, n + bo.shape[0])
+        cot = jnp.asarray(rng.standard_normal((16, t_total, k)), jnp.float32)
+
+        def loss_custom(f):
+            return jnp.sum(_pack_gather(f, gidx_ext, ss, sb, bo, t_total * k)
+                           * cot)
+
+        def loss_ref(f):
+            f_ext = jnp.concatenate([f, f[bo], jnp.zeros_like(f[:1])], 0)
+            packed = f_ext[gidx_ext.reshape(-1)].T.reshape(16, t_total, k)
+            return jnp.sum(packed * cot)
+
+        g_c = np.asarray(jax.grad(loss_custom)(feat))
+        g_r = np.asarray(jax.grad(loss_ref)(feat))
+        scale = np.abs(g_r).max() + 1e-12
+        err = np.abs(g_c - g_r).max() / scale
+        assert err < 5e-3, f"pack VJP rel err {err:.2e}"
+        # forward values stay finite under the bf16 encode/decode
+        p = np.asarray(_pack_gather(feat, gidx_ext, ss, sb, bo, t_total * k))
+        assert np.isfinite(p).all()
