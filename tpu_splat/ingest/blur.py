@@ -11,34 +11,31 @@ invalidating +-spacing/2 neighbors) and equidistant reduction
 
 from __future__ import annotations
 
-import functools
 from typing import List, Optional, Tuple
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 
-@functools.partial(jax.jit, static_argnames=("batch",))
-def _laplacian_variance_batch(gray: jnp.ndarray, batch: int = 0) -> jnp.ndarray:
-    """(N, H, W) grayscale [0,1] -> (N,) variance of the 3x3 Laplacian."""
-    k = jnp.array([[0.0, 1.0, 0.0], [1.0, -4.0, 1.0], [0.0, 1.0, 0.0]])
-    x = gray[:, None]  # NCHW
-    lap = jax.lax.conv_general_dilated(x, k[None, None], (1, 1), "VALID")[:, 0]
-    mean = jnp.mean(lap, axis=(1, 2), keepdims=True)
-    return jnp.mean((lap - mean) ** 2, axis=(1, 2))
-
-
 def laplacian_variance(images: np.ndarray, chunk: int = 32) -> np.ndarray:
-    """Sharpness score per image; images (N, H, W[, 3]) float32 in [0,1]."""
+    """Sharpness score per image; images (N, H, W[, 3]) float32 in [0,1].
+
+    Host-side on purpose: this is ingest preprocessing, and a 3x3 Laplacian at
+    720p is ~2ms/frame in cv2 — the earlier batched-jax-conv version paid
+    remote-dispatch latency orders of magnitude above the compute on tunneled
+    TPU setups (measured 376s for 16 frames). Same 4-neighbor kernel as the
+    reference (compute_laplacian_variance_basic, filter_blurry_images.py:339),
+    border cropped to match a VALID convolution."""
+    import cv2
+
     if images.ndim == 4:
         gray = images @ np.array([0.299, 0.587, 0.114], np.float32)
     else:
         gray = images
-    out = []
-    for i in range(0, len(gray), chunk):
-        out.append(np.asarray(_laplacian_variance_batch(jnp.asarray(gray[i : i + chunk]))))
-    return np.concatenate(out)
+    return np.array([
+        cv2.Laplacian(np.ascontiguousarray(g, np.float32),
+                      cv2.CV_32F, ksize=1)[1:-1, 1:-1].var()
+        for g in gray
+    ], np.float32)
 
 
 def saliency_laplacian_variance(
