@@ -162,9 +162,10 @@ def test_sfm_self_calibration(rendered_capture):
     assert reg.sum() >= n - 2, f"only {reg.sum()}/{n} registered; log: {logs}"
 
     # The calibration claim proper: from a 37%-wrong 1.2*max(w,h) prior, the
-    # mid-mapping shared-focal BA refinement recovers fx to a tight band
-    # (measured r3: 140.8 vs GT 140.0 — 0.5%; registration is all-PnP with
-    # zero relative-pose rescues once failed PnPs defer to focal refinement).
+    # focal-multistart basin search (BA from a grid of focal bases, scored by
+    # out-of-map PnP consensus) + full rebuild of matches/map under the winner
+    # recovers fx to a tight band (measured r3: 138.0 vs GT 140.0 — 1.4%;
+    # the rebuilt run registers 16/16 all-PnP with zero rescues).
     fx_rec = float(np.asarray(scene.cameras.fx)[0])
     assert 0.8 * FX < fx_rec < 1.25 * FX, \
         f"recovered fx {fx_rec:.1f} outside 25% of GT {FX}; log: {logs}"
@@ -178,8 +179,9 @@ def test_sfm_self_calibration(rendered_capture):
     aligned = float(s) * rec_centers @ np.asarray(R).T + np.asarray(t)
     rmse = np.sqrt(np.mean(np.sum((aligned - gt_centers) ** 2, axis=-1)))
     # Pose bound: within 2x of the GT-focal run's structural drift floor
-    # (~8.8%; the 240-degree chain bends low-frequency regardless of focal —
-    # see test_sfm_recovers_ring). Measured r3: 17%.
+    # (~7-9%; the 240-degree chain bends low-frequency regardless of focal —
+    # see test_sfm_recovers_ring). Measured r3: 12.4% after the
+    # multistart-rebuild (from 17% with in-place focal refinement).
     assert rmse < 0.2 * 4.0, f"camera center RMSE {rmse:.3f}; log: {logs}"
 
 

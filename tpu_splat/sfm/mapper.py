@@ -71,6 +71,15 @@ class MapperConfig:
     seed: int = 0
 
 
+class _RestartWithFocal(Exception):
+    """Raised by the focal multistart to request a from-scratch map rebuild
+    under the calibrated focal (caught in `IncrementalMapper.reconstruct`)."""
+
+    def __init__(self, fx: float):
+        super().__init__(f"restart with fx={fx}")
+        self.fx = fx
+
+
 class _UnionFind:
     def __init__(self, n: int):
         self.parent = np.arange(n, dtype=np.int64)
@@ -113,6 +122,33 @@ class IncrementalMapper:
                           is not None else fx is None)
         self.log = log_fn or (lambda s: None)
         self.key = jax.random.PRNGKey(cfg.seed)
+        self._attempts = np.zeros(self.n, np.int32)
+        self._focal_refined_once = False
+        # Quarantine for filtered observations: (img, tid) -> feat. Filtering
+        # judges an observation under the focal/geometry of the moment; when
+        # self-calibration later corrects the focal, early drops must be
+        # re-testable or the map stays permanently sparse (see _readmit).
+        self._dropped_obs: Dict[Tuple[int, int], int] = {}
+
+    def _ransac_padded(self, xa: np.ndarray, xb: np.ndarray, threshold: float):
+        """essential_ransac on pow-2-padded correspondences.
+
+        Each distinct match count would otherwise compile a fresh program —
+        through a remote-compile tunnel the compiles cost far more than the
+        math. Returns (E, inl_padded (Mp,), xa_p, xb_p, m); padded rows are
+        valid=False so they can never become inliers."""
+        m = len(xa)
+        mp = _pad_pow2(m, floor=512)
+        xap = np.zeros((mp, 2), np.float32)
+        xbp = np.zeros((mp, 2), np.float32)
+        xap[:m], xbp[:m] = xa, xb
+        val = np.zeros(mp, bool)
+        val[:m] = True
+        E, inl = essential_ransac(
+            jnp.asarray(xap), jnp.asarray(xbp), jnp.asarray(val),
+            self._next_key(), threshold=threshold,
+        )
+        return E, np.asarray(inl), xap, xbp, m
 
     def _next_key(self):
         self.key, sub = jax.random.split(self.key)
@@ -303,6 +339,30 @@ class IncrementalMapper:
     # ---------- stage 4/5: reconstruction ----------
 
     def reconstruct(self) -> SfMScene:
+        """Incremental reconstruction, with one full REBUILD if the focal
+        multistart fires: a map bootstrapped under a wrong prior keeps a
+        baked-in warp that later BAs cannot undo (measured: 2.7 center RMSE
+        with all-healthy PnP registrations on the ring scene), so once the
+        basin search has calibrated the focal, the cheapest clean map is a
+        from-scratch regrowth under it. Matching and tracks are REBUILT too:
+        the pair graph itself is focal-robust, but the epipolar-gated guided
+        rematch is not — match sets grown under a 37%-wrong prior measurably
+        poison init triangulation (67/84 vs 80/87 inliers triangulated) and
+        every PnP margin downstream."""
+        try:
+            return self._reconstruct()
+        except _RestartWithFocal as r:
+            self.log(f"rebuilding matches and map under calibrated "
+                     f"fx={r.fx:.1f}")
+            self.fx = self.fy = r.fx
+            self.calibrate = False  # focal is decided; regrow like a GT run
+            self._dropped_obs = {}
+            self._attempts = np.zeros(self.n, np.int32)
+            self.match_all()
+            self.build_tracks()
+            return self._reconstruct()
+
+    def _reconstruct(self) -> SfMScene:
         cfg = self.cfg
         n_tracks = len(self.tracks)
         self.R = np.zeros((self.n, 3, 3), np.float32)
@@ -321,32 +381,45 @@ class IncrementalMapper:
             self.pair_inliers, key=self.pair_inliers.get, reverse=True
         )[:5]
         best = None  # (n_points, a, b, Rb, tb, points, has_point)
+        done = False
         for (a, b) in candidates:
-            idx = self.pair_matches[(a, b)]
-            xa = self._norm_coords(a, idx[:, 0])
-            xb = self._norm_coords(b, idx[:, 1])
-            E, inl = essential_ransac(
-                jnp.asarray(xa), jnp.asarray(xb), jnp.ones(len(xa), bool),
-                self._next_key(), threshold=thresh_n,
-            )
-            Rrel, trel = decompose_essential(E, jnp.asarray(xa), jnp.asarray(xb), inl)
-            self.R[a], self.t[a] = np.eye(3, dtype=np.float32), np.zeros(3, np.float32)
-            self.R[b], self.t[b] = np.asarray(Rrel), np.asarray(trel)
-            self.registered[:] = False
-            self.registered[[a, b]] = True
-            self.points[:] = 0
-            self.has_point[:] = False
-            self._triangulate_image_tracks([a, b])
-            n_pts = int(self.has_point.sum())
-            self.log(
-                f"init candidate ({a},{b}): {int(np.asarray(inl).sum())} inliers, "
-                f"{n_pts} triangulated"
-            )
-            if best is None or n_pts > best[0]:
-                best = (n_pts, a, b, self.R[b].copy(), self.t[b].copy(),
-                        self.points.copy(), self.has_point.copy())
-            if n_pts > 0.6 * self.pair_inliers[(a, b)]:
-                break  # good enough, stop searching
+            # Two RANSAC restarts per candidate: the whole reconstruction
+            # chains off this one two-view geometry, and on weak-texture
+            # captures the consensus landscape is multi-modal — a single
+            # unlucky draw here costs 15-20% of the init triangulations and
+            # every downstream PnP margin with them. The early-accept bar is
+            # deliberately high (0.85) for the same reason: a draw that only
+            # triangulates 60-80% of its verified inliers is the signature of
+            # a near-critical E, not of a hard pair.
+            for _ in range(2):
+                idx = self.pair_matches[(a, b)]
+                xa = self._norm_coords(a, idx[:, 0])
+                xb = self._norm_coords(b, idx[:, 1])
+                E, inl, xap, xbp, _m = self._ransac_padded(xa, xb, thresh_n)
+                Rrel, trel = decompose_essential(
+                    E, jnp.asarray(xap), jnp.asarray(xbp), jnp.asarray(inl))
+                self.R[a], self.t[a] = (np.eye(3, dtype=np.float32),
+                                        np.zeros(3, np.float32))
+                self.R[b], self.t[b] = np.asarray(Rrel), np.asarray(trel)
+                self.registered[:] = False
+                self.registered[[a, b]] = True
+                self.points[:] = 0
+                self.has_point[:] = False
+                self._triangulate_image_tracks([a, b])
+                n_pts = int(self.has_point.sum())
+                self.log(
+                    f"init candidate ({a},{b}): "
+                    f"{int(np.asarray(inl).sum())} inliers, "
+                    f"{n_pts} triangulated"
+                )
+                if best is None or n_pts > best[0]:
+                    best = (n_pts, a, b, self.R[b].copy(), self.t[b].copy(),
+                            self.points.copy(), self.has_point.copy())
+                if n_pts > 0.85 * self.pair_inliers[(a, b)]:
+                    done = True
+                    break  # good enough, stop searching
+            if done:
+                break
         n_pts, a, b, Rb, tb, pts, hp = best
         if n_pts < self.cfg.min_pnp_inliers:
             raise RuntimeError(
@@ -360,6 +433,17 @@ class IncrementalMapper:
         self.log(f"init pair ({a},{b}): {n_pts} points")
         since_ba = 0
         self._attempts = np.zeros(self.n, np.int32)
+        self._focal_refined_once = False
+        self._dropped_obs = {}
+        # Relative-pose rescues under an unrefined focal prior chain
+        # self-consistent warped segments into the map; the final BA then fits
+        # the shared focal TO the warp (locally optimal at ~1px rms, so
+        # nothing downstream can detect it). While self-calibrating, rescues
+        # are therefore disabled until either focal has been refined once
+        # (clean PnP-only map reached 8 cams) or the mapper fully stalls
+        # (desperation fallback below — a partial map beats none).
+        rescue_ok = not self.calibrate
+        tried_multistart = False
         min_inliers = cfg.min_pnp_inliers
         while True:
             nxt = self._next_image(min_inliers)
@@ -370,33 +454,70 @@ class IncrementalMapper:
                 # pass, like COLMAP's relaxed re-registration).
                 self._retriangulate()
                 nxt = self._next_image(min_inliers)
-                if nxt is None and min_inliers > 6:
+                # The desperation bar (6 inliers) poisons a self-calibrating
+                # map exactly like rescues do — a 6-inlier PnP under a wrong
+                # focal lands a warped camera BA then fits focal to — so it is
+                # gated with them until focal has been refined.
+                if nxt is None and min_inliers > 6 and rescue_ok:
                     min_inliers = 6
                     continue
                 if nxt is None:
                     # last resort: bootstrap any image strongly paired with a
                     # registered one via two-view relative pose + scale transfer
-                    nxt = self._next_relative_candidate()
+                    nxt = self._next_relative_candidate() if rescue_ok else None
                     if nxt is None:
+                        if not rescue_ok and not self.registered.all():
+                            # Calibration-mode stall: strict PnP refusing every
+                            # candidate this early is most likely the focal
+                            # prior itself (reprojections warp ~uniformly with
+                            # focal error). Two-view sweeps are flat on these
+                            # captures, but map consistency is not — search
+                            # focal basins by BA before resorting to rescues.
+                            if (not tried_multistart
+                                    and not self._focal_refined_once
+                                    and self.registered.sum() >= 4):
+                                tried_multistart = True
+                                self._refine_focal_multistart()
+                                self._attempts[~self.registered] = 0
+                                continue
+                            # Re-admit deferred images with rescues + the
+                            # desperation bar enabled. One-shot.
+                            rescue_ok = True
+                            self._attempts[~self.registered] = 0
+                            continue
                         break
             self._attempts[nxt] += 1
             ok = self._register_image(nxt, min_inliers)
-            if (not ok and self.calibrate and self._attempts[nxt] < 3
+            if (ok and self.calibrate and not self._focal_refined_once
                     and self.registered.sum() >= 8):
-                # Self-calibrating with a mature map: a failed PnP is as likely
-                # a focal error as a hard view — run BA (which refines the
-                # shared focal from 8 cams on) and retry before resorting to
-                # the relative-pose rescue. Rescues under a wrong focal chain
-                # into self-consistent warped segments the final BA then fits
-                # focal TO, so they are last-attempt-only here. Below 8 cams
-                # the rescue keeps its old role: bootstrapping low-overlap
-                # chains a 2-camera map cannot PnP against.
-                self._bundle_adjust()
-                self._filter_observations()
+                # First focal decision, taken by basin search rather than by
+                # letting BA refine in place: growth under a wrong prior
+                # builds a self-consistent warped map that in-place joint
+                # map+focal BA cannot leave (measured on the ring scenes:
+                # 288 -> 261 vs GT 210, every camera registering happily,
+                # 2x center RMSE). The search scores each focal basin by
+                # out-of-map PnP consensus and posterior rms, then requests
+                # a from-scratch regrowth under the winner.
+                self._refine_focal_multistart()
+            if not ok and self.calibrate and self._attempts[nxt] < 3:
+                # Self-calibrating: a failed PnP is as likely a focal error as
+                # a hard view — defer it. With >= 8 cams run BA (which refines
+                # the shared focal) and retry; below 8 cams just requeue —
+                # other candidates register PnP-only and grow the map until
+                # focal refinement turns on, after which _bundle_adjust resets
+                # the attempt counters of deferred images so they re-enter the
+                # queue under the corrected focal.
+                if self.registered.sum() >= 8:
+                    self._bundle_adjust()
+                    self._filter_observations()
+                    since_ba = 0
                 self._retriangulate()
-                since_ba = 0
                 continue
-            if not ok:
+            if self._focal_refined_once and not rescue_ok:
+                # Focal has been refined on a clean PnP-only map; relative-
+                # pose bootstraps are safe from here on.
+                rescue_ok = True
+            if not ok and rescue_ok:
                 ok = self._register_via_relative_pose(nxt)
             if not ok:
                 self.registered[nxt] = False
@@ -409,9 +530,44 @@ class IncrementalMapper:
                 self._filter_observations()
                 self._retriangulate()
                 since_ba = 0
+        # NOTE: if a multistart basin search chose the focal, it stays frozen
+        # through the endgame too. The estimate maximized OUT-OF-MAP
+        # registration consensus (unbiased by map warp); per-round BA focal
+        # fine-tuning re-opens the warped-ring attractor and was measured to
+        # run away 141 -> 178 across the extended BAs, re-bending the ring.
         self._bundle_adjust()
+        self._readmit_observations()
         self._filter_observations()
         self._retriangulate()
+        # Re-registration rounds, iterated to closure: one image exhausting
+        # its attempts mid-run (e.g. under a still-warped self-calibrating
+        # map) orphans everything downstream of it on the capture chain — a
+        # single-pass sweep cannot recover the chain because each admission
+        # unlocks the next image's triangulations. BA every few admissions
+        # like the main loop; stop when a full pass admits nothing (COLMAP's
+        # post-BA re-registration rounds).
+        for _ in range(3):
+            if self.registered.all():
+                break
+            swept = 0
+            progress = True
+            while progress:
+                progress = False
+                for i in np.nonzero(~self.registered)[0]:
+                    if self._register_image(int(i)):
+                        self._triangulate_image_tracks([int(i)])
+                        swept += 1
+                        progress = True
+                        if swept % 3 == 0:
+                            self._bundle_adjust()
+                            self._filter_observations()
+                            self._retriangulate()
+            if not swept:
+                break
+            self._readmit_observations()
+            self._filter_observations()
+            self._retriangulate()
+            self._bundle_adjust(extended=True)
         # Loop-stiffening: the verified pair graph of a walked capture is a
         # chain (span 1-2), so scale drift accumulates toward the ends. With
         # poses now known, guided-match the unverified wide-baseline pairs and
@@ -479,6 +635,7 @@ class IncrementalMapper:
                 pc = self.R[img] @ self.points[tid] + self.t[img]
                 if pc[2] <= 1e-6:
                     n_dropped += 1
+                    self._dropped_obs[(img, tid)] = feat
                     self.img_tracks[img].pop(tid, None)
                     continue
                 err = np.linalg.norm(
@@ -486,6 +643,7 @@ class IncrementalMapper:
                 )
                 if err > max_err_n:
                     n_dropped += 1
+                    self._dropped_obs[(img, tid)] = feat
                     self.img_tracks[img].pop(tid, None)
                     continue
                 kept.append((img, feat))
@@ -500,6 +658,36 @@ class IncrementalMapper:
         """Attempt triangulation of all not-yet-triangulated tracks with >= 2
         registered observations (coverage grows as cameras register/BA improves)."""
         self._triangulate_image_tracks(list(np.nonzero(self.registered)[0]))
+
+    def _readmit_observations(self) -> int:
+        """Re-test quarantined observations against the CURRENT map and
+        restore the ones that now reproject within threshold.
+
+        `_filter_observations` judges under the focal/geometry of the moment —
+        drops made under a wrong focal prior are wrong once self-calibration
+        corrects it, and the resulting permanent sparsity is what collapses
+        later PnP margins into rescue chains (measured: 2.6 center RMSE from
+        compounding rescue scale transfer on the ring scene). COLMAP's
+        retriangulation equivalently re-tests previously-discarded matches."""
+        max_err_n = self.cfg.max_reproj_error_px / self.fx
+        n_back = 0
+        for (img, tid), feat in list(self._dropped_obs.items()):
+            if not self.registered[img] or not self.has_point[tid]:
+                continue
+            pc = self.R[img] @ self.points[tid] + self.t[img]
+            if pc[2] <= 1e-6:
+                continue
+            err = np.linalg.norm(
+                pc[:2] / pc[2] - self._norm_coords(img, np.array([feat]))[0]
+            )
+            if err <= max_err_n:
+                self.tracks[tid].append((img, feat))
+                self.img_tracks[img][tid] = feat
+                del self._dropped_obs[(img, tid)]
+                n_back += 1
+        if n_back:
+            self.log(f"readmit: {n_back} observations restored")
+        return n_back
 
     def _augment_wide_pairs(self, max_span: int = 8) -> int:
         """Pose-guided matching of registered pairs the ratio test couldn't
@@ -556,16 +744,13 @@ class IncrementalMapper:
                 # plane texture — a critical surface where RANSAC happily finds
                 # a wrong-but-consistent E. Loosening these gates measurably
                 # degrades the ring benchmark (7.8% -> 13.2% center RMSE).
-                E2, inl = essential_ransac(
-                    jnp.asarray(xa), jnp.asarray(xb),
-                    jnp.ones(len(xa), bool), self._next_key(),
-                    threshold=0.5 * thresh_n,
-                )
-                inl = np.asarray(inl)
+                E2, inl_p, xap, xbp, _m = self._ransac_padded(
+                    xa, xb, 0.5 * thresh_n)
+                inl = inl_p[:_m]
                 if inl.sum() < max(self.cfg.min_pnp_inliers, 0.5 * len(gidx)):
                     continue
                 R2, _ = decompose_essential(
-                    E2, jnp.asarray(xa), jnp.asarray(xb), jnp.asarray(inl)
+                    E2, jnp.asarray(xap), jnp.asarray(xbp), jnp.asarray(inl_p)
                 )
                 dR = np.asarray(R2) @ R_rel.T
                 ang = np.degrees(np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1)))
@@ -657,11 +842,37 @@ class IncrementalMapper:
         return best
 
     def _register_image(self, i: int, min_inliers: Optional[int] = None) -> bool:
-        cfg = self.cfg
-        min_inliers = min_inliers or cfg.min_pnp_inliers
-        tids = [tid for tid in self.img_tracks[i] if self.has_point[tid]]
-        if len(tids) < min_inliers:
+        min_inliers = min_inliers or self.cfg.min_pnp_inliers
+        if sum(1 for tid in self.img_tracks[i] if self.has_point[tid]) \
+                < min_inliers:
             return False
+        res = self._pnp_solve(i)
+        if res is None:
+            return False
+        count, n_tids, R, t = res
+        # Acceptance is absolute-count OR high-consensus: an image that can
+        # only SEE 10-12 live points can never clear the absolute bar, but
+        # 75%+ of its visible map agreeing on one pose is strong evidence
+        # (COLMAP's abs_pose_min_inlier_ratio analog). Keeps sparse-map
+        # registrations (self-calibration runs, low-overlap chain ends) on
+        # the PnP path instead of pushing them into relative-pose rescues.
+        ratio_ok = count >= max(8, -(-3 * n_tids // 4))
+        if count < min_inliers and not ratio_ok:
+            self.log(f"register {i}: FAILED ({count}/{n_tids} inliers)")
+            return False
+        self.R[i], self.t[i] = R, t
+        self.registered[i] = True
+        self.log(f"register {i}: {count}/{n_tids} PnP inliers")
+        return True
+
+    def _pnp_solve(self, i: int):
+        """Best PnP pose of image i against the current map, WITHOUT mutating
+        any mapper state. Returns (inlier_count, n_map_points, R, t), or None
+        if the image sees too few live map points to pose at all."""
+        cfg = self.cfg
+        tids = [tid for tid in self.img_tracks[i] if self.has_point[tid]]
+        if len(tids) < 6:
+            return None
         feats = np.array([self.img_tracks[i][tid] for tid in tids])
         X = self.points[tids]
         xn = self._norm_coords(i, feats)
@@ -700,14 +911,29 @@ class IncrementalMapper:
             count = int(np.asarray(inl).sum())
             if best is None or count > best[0]:
                 best = (count, np.asarray(R), np.asarray(t))
-        count, R, t = best
-        if count < min_inliers:
-            self.log(f"register {i}: FAILED ({count} inliers)")
-            return False
-        self.R[i], self.t[i] = R, t
-        self.registered[i] = True
-        self.log(f"register {i}: {count}/{len(tids)} PnP inliers")
-        return True
+        return best[0], len(tids), best[1], best[2]
+
+    def _pnp_health(self) -> int:
+        """Total best-PnP inlier count of all UNREGISTERED images against the
+        current map. The focal-multistart discriminator: a 4-camera BA bends
+        its own map to near-zero rms under any focal (so posterior rms cannot
+        rank basins), but images outside the map only reproject consistently
+        under the true focal — their aggregate PnP consensus peaks there."""
+        cand = [
+            (sum(1 for tid in self.img_tracks[i] if self.has_point[tid]), i)
+            for i in range(self.n)
+            if not self.registered[i] and self.img_tracks[i]
+        ]
+        # Cap the probe set: the 16 most map-connected images carry the
+        # discriminative signal; probing all of a 150-frame capture would
+        # cost hundreds of PnP dispatches per basin for no extra information.
+        cand = sorted(i for _, i in sorted(cand, reverse=True)[:16])
+        total = 0
+        for i in cand:
+            res = self._pnp_solve(i)
+            if res is not None:
+                total += res[0]
+        return total
 
     def _next_relative_candidate(self) -> Optional[int]:
         """Unregistered image with the strongest verified pair to a registered one."""
@@ -751,21 +977,20 @@ class IncrementalMapper:
         feats_i = idx[:, 1] if a == r else idx[:, 0]
         xr = self._norm_coords(r, feats_r)
         xi = self._norm_coords(i, feats_i)
-        E, inl = essential_ransac(
-            jnp.asarray(xr), jnp.asarray(xi), jnp.ones(len(xr), bool),
-            self._next_key(), threshold=thresh_n,
-        )
-        if int(np.asarray(inl).sum()) < cfg.min_pair_inliers:
+        E, inl_p, xrp, xip, _m = self._ransac_padded(xr, xi, thresh_n)
+        if int(inl_p.sum()) < cfg.min_pair_inliers:
             return False
-        Rrel, trel = decompose_essential(E, jnp.asarray(xr), jnp.asarray(xi), inl)
+        Rrel, trel = decompose_essential(
+            E, jnp.asarray(xrp), jnp.asarray(xip), jnp.asarray(inl_p))
         Rrel, trel = np.asarray(Rrel), np.asarray(trel)
 
-        # unit-baseline two-view depths in camera r
+        # unit-baseline two-view depths in camera r (padded rows are masked
+        # out via inl below)
         P1 = np.concatenate([np.eye(3), np.zeros((3, 1))], 1).astype(np.float32)
         P2 = np.concatenate([Rrel, trel[:, None]], 1).astype(np.float32)
         X_rel = np.asarray(triangulate_dlt(jnp.asarray(P1), jnp.asarray(P2),
-                                           jnp.asarray(xr), jnp.asarray(xi)))
-        inl_np = np.asarray(inl)
+                                           jnp.asarray(xrp), jnp.asarray(xip)))
+        inl_np = inl_p[:_m]
 
         # scale from shared triangulated tracks
         k = self.cfg.feature.max_features
@@ -785,8 +1010,32 @@ class IncrementalMapper:
             return False
         s = float(np.median(ratios))
         # compose: w2c_i = [Rrel | s*trel] o w2c_r
-        self.R[i] = (Rrel @ self.R[r]).astype(np.float32)
-        self.t[i] = (Rrel @ self.t[r] + s * trel).astype(np.float32)
+        R_cand = (Rrel @ self.R[r]).astype(np.float32)
+        t_cand = (Rrel @ self.t[r] + s * trel).astype(np.float32)
+        # Validate against the MAP before committing: a rescue is a two-view
+        # pose against one neighbor — if the candidate disagrees with the live
+        # points it can already see, admitting it chains a warped segment into
+        # the map (unvalidated 1-2-map-inlier rescues measured 2.6 center RMSE
+        # on the ring scene; COLMAP never admits a camera its map disputes).
+        tids = [tid for tid in self.img_tracks[i] if self.has_point[tid]]
+        if len(tids) >= 4:
+            feats_v = np.array([self.img_tracks[i][tid] for tid in tids])
+            xn = self._norm_coords(i, feats_v)
+            pc = self.points[tids] @ R_cand.T + t_cand
+            z = np.maximum(pc[:, 2], 1e-9)
+            err = np.where(pc[:, 2] > 1e-6,
+                           np.linalg.norm(pc[:, :2] / z[:, None] - xn, axis=-1),
+                           np.inf)
+            med = float(np.median(err))
+            # 3x the BA filter threshold: a rescue pose is pre-BA-polish, so
+            # marginal disagreement is expected (and fixable); the failure
+            # mode this guards is the off-by-tens-of-px garbage pose.
+            if med > 3.0 * self.cfg.max_reproj_error_px / self.fx:
+                self.log(f"register {i}: rescue to {r} rejected "
+                         f"(median map err {med * self.fx:.1f}px)")
+                return False
+        self.R[i] = R_cand
+        self.t[i] = t_cand
         self.registered[i] = True
         self.log(f"register {i}: via relative pose to {r} "
                  f"(scale from {len(ratios)} shared tracks)")
@@ -808,9 +1057,12 @@ class IncrementalMapper:
         if not cand:
             return
         max_views = 8
-        Ps = np.zeros((len(cand), max_views, 3, 4), np.float32)
-        xs = np.zeros((len(cand), max_views, 2), np.float32)
-        vs = np.zeros((len(cand), max_views), bool)
+        # pow-2 row padding: the vmapped DLT otherwise compiles per candidate
+        # count, i.e. on almost every registration (remote-compile latency)
+        rows_pad = _pad_pow2(len(cand), floor=512)
+        Ps = np.zeros((rows_pad, max_views, 3, 4), np.float32)
+        xs = np.zeros((rows_pad, max_views, 2), np.float32)
+        vs = np.zeros((rows_pad, max_views), bool)
         for row, tid in enumerate(cand):
             col = 0
             for img, feat in self.tracks[tid]:
@@ -874,9 +1126,12 @@ class IncrementalMapper:
                 obs_uv.append(self._norm_coords(img, np.array([feat]))[0])
         return cam_ids, live, np.array(obs_cam), np.array(obs_pt), np.array(obs_uv)
 
-    def _bundle_adjust(self, extended: bool = False):
+    def _bundle_adjust(self, extended: bool = False,
+                       force_focal: bool = False) -> Optional[float]:
+        """One BA round over the current map. Returns the posterior
+        reprojection rms in pixels (None if the map is too small to adjust)."""
         if self.registered.sum() < 2 or self.has_point.sum() < 8:
-            return
+            return None
         cfg = self.cfg
         cam_ids, live, obs_cam, obs_pt, obs_uv = self._gather_observations()
         o = len(obs_cam)
@@ -887,10 +1142,28 @@ class IncrementalMapper:
         ov = np.zeros(pad, bool)
         oc[:o], op[:o], ouv[:o], ov[:o] = obs_cam, obs_pt, obs_uv, True
 
+        # Cameras and points pad to pow-2 buckets like the observations:
+        # bundle_adjust recompiles per shape, and through a remote-compile
+        # tunnel an unpadded incremental run (new camera count every BA) costs
+        # more in compiles than in math. Padded cams/points have no valid
+        # observations, so their normal-equation blocks are zero and CG leaves
+        # them untouched; read-back slices the real prefix.
+        c = len(cam_ids)
+        cpad = _pad_pow2(c, floor=8)
+        Rp = np.tile(np.eye(3, dtype=np.float32), (cpad, 1, 1))
+        tp = np.zeros((cpad, 3), np.float32)
+        tp[:, 2] = 1.0  # pads sit in front of themselves; never observed
+        Rp[:c] = self.R[cam_ids]
+        tp[:c] = self.t[cam_ids]
+        npts = len(live)
+        ppad = _pad_pow2(npts, floor=1024)
+        Xp = np.zeros((ppad, 3), np.float32)
+        Xp[:npts] = self.points[live]
+
         problem = BAProblem(
-            cam_rotmats=jnp.asarray(self.R[cam_ids]),
-            cam_trans=jnp.asarray(self.t[cam_ids]),
-            points=jnp.asarray(self.points[live]),
+            cam_rotmats=jnp.asarray(Rp),
+            cam_trans=jnp.asarray(tp),
+            points=jnp.asarray(Xp),
             obs_cam=jnp.asarray(oc),
             obs_pt=jnp.asarray(op),
             obs_uv=jnp.asarray(ouv),
@@ -904,7 +1177,15 @@ class IncrementalMapper:
         # registrations already run with a corrected focal — waiting for the
         # final extended BAs lets a bad prior fail mid-mapping PnPs and warp
         # the map through relative-pose rescues before focal ever corrects.
-        refine_focal = self.calibrate and (extended or len(cam_ids) >= 8)
+        # In-place focal refinement only runs AFTER the multistart basin
+        # search has made the first focal decision (and kept the prior —
+        # a restart sets calibrate=False): refining in place from a wrong
+        # prior converges to the warped-map attractor the search exists to
+        # avoid. force_focal is the search's own trial path.
+        refine_focal = self.calibrate and (
+            force_focal
+            or (self._focal_refined_once
+                and (extended or len(cam_ids) >= 8)))
         R, t, X, rms, fscale = bundle_adjust(
             problem,
             huber_delta=cfg.pixel_threshold / self.fx,
@@ -912,20 +1193,99 @@ class IncrementalMapper:
             cg_iters=cfg.ba_cg_iters * (2 if extended else 1),
             optimize_focal=refine_focal,
         )
-        self.R[cam_ids] = np.asarray(R)
-        self.t[cam_ids] = np.asarray(t)
-        self.points[live] = np.asarray(X)
+        self.R[cam_ids] = np.asarray(R)[:c]
+        self.t[cam_ids] = np.asarray(t)[:c]
+        self.points[live] = np.asarray(X)[:npts]
         if refine_focal:
             s = float(fscale)
             if abs(s - 1.0) > 1e-5:
                 self.fx *= s
                 self.fy *= s
+            if abs(s - 1.0) > 0.02:
+                # Focal moved materially: drops made under the old focal are
+                # stale — re-test the quarantine so map density recovers.
+                self._readmit_observations()
+            if not self._focal_refined_once:
+                # Images deferred (PnP-failed) under the raw prior get fresh
+                # attempts now that focal is corrected (see the run loop).
+                self._focal_refined_once = True
+                self._attempts[~self.registered] = 0
+        rms_px = float(rms) * self.fx
         self.log(
             f"BA: {len(cam_ids)} cams, {len(live)} pts, {o} obs, "
-            f"rms {float(rms) * self.fx:.2f}px"
+            f"rms {rms_px:.2f}px"
             + (f", focal x{float(fscale):.4f} -> {self.fx:.1f}"
                if refine_focal else "")
         )
+        return rms_px
+
+    def _refine_focal_multistart(self):
+        """Search focal basins by BA when the mapper stalls early while
+        self-calibrating.
+
+        The shared-focal BA parameter is locally convergent only: started from
+        a 30-40% wrong prior it settles in a warped-map local optimum (the map
+        bends to stay consistent with the wrong focal, COLMAP shows the same
+        failure on degenerate captures). Re-run BA from the CURRENT geometry
+        under a grid of focal bases and keep the basin under which the
+        UNREGISTERED images PnP-register best (`_pnp_health`) — posterior rms
+        cannot rank basins because a tiny BA bends its map to ~1px under any
+        focal, but out-of-map images only reproject consistently under the
+        true one. Map consistency discriminates focal where two-view consensus
+        (`_calibrate_focal`) is flat."""
+        saved = (self.fx, self.fy, self.R.copy(), self.t.copy(),
+                 self.points.copy(), self.has_point.copy())
+        fx0, fy0 = self.fx, self.fy
+        results = []  # (health, rms_px, fx, fy)
+        trace = []
+        for s in (0.6, 0.75, 0.9, 1.0, 1.2):
+            self.fx, self.fy = fx0 * s, fy0 * s
+            self.R, self.t = saved[2].copy(), saved[3].copy()
+            self.points, self.has_point = saved[4].copy(), saved[5].copy()
+            rms = self._bundle_adjust(force_focal=True)
+            if rms is None:
+                continue
+            # Retriangulate before scoring: a stalled map can be too sparse
+            # for out-of-map images to see >= 6 live points, so health would
+            # be noise-flat without it — and triangulation itself
+            # discriminates (the true focal passes more tracks through the
+            # reprojection and angle gates, feeding more PnP consensus).
+            self._retriangulate()
+            health = self._pnp_health()
+            results.append((health, rms, self.fx, self.fy))
+            trace.append(f"{self.fx:.0f}:h{health}/r{rms:.2f}px")
+        (self.fx, self.fy, self.R, self.t,
+         self.points, self.has_point) = saved
+        if not results:
+            return
+        # Selection: PnP health of out-of-map images first (immune to the
+        # small-map bend-to-fit failure), posterior rms as the tie-break.
+        # The tie-break regime depends on signal strength: on a tiny stalled
+        # map (aggregate health < 30) a 1-2 inlier health edge IS the signal
+        # and rms actively lies (a 4-cam map bends to sub-px rms under any
+        # focal — measured r1.16px at the WORST basin), so demand the strict
+        # health max; on a mature map health saturates (every image registers
+        # under every basin) while the true basin's rms is measurably lower
+        # (0.6 vs 0.9px on the ring), so there a 10% health band + min rms
+        # decides.
+        hmax = max(r[0] for r in results)
+        if hmax >= 30:
+            band = [r for r in results if r[0] >= 0.9 * hmax]
+        else:
+            band = [r for r in results if r[0] == hmax]
+        best = min(band, key=lambda r: r[1])
+        self.log(f"focal multistart: {{{', '.join(trace)}}} "
+                 f"-> fx={best[2]:.1f} (prior {fx0:.1f})")
+        if abs(best[2] / fx0 - 1.0) <= 0.03:
+            # The prior basin won: the current map was grown under (nearly)
+            # the chosen focal, so keep growing it in place.
+            self._focal_refined_once = True
+            return
+        # Do NOT continue growing this map: it was bootstrapped under the
+        # wrong prior and keeps a baked-in warp through any amount of BA
+        # (measured 2.7 center RMSE with healthy registrations); request a
+        # from-scratch regrowth under the calibrated focal instead.
+        raise _RestartWithFocal(best[2])
 
     def _filter_points(self):
         """Drop observations/points with high reprojection error or behind cameras."""
