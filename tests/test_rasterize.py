@@ -258,3 +258,69 @@ class TestPackGatherVJP:
         # forward values stay finite under the bf16 encode/decode
         p = np.asarray(_pack_gather(feat, gidx_ext, ss, sb, bo, t_total * k))
         assert np.isfinite(p).all()
+
+
+class TestCircleCull:
+    def test_culled_pairs_are_inert(self, rng):
+        """Every bbox-grid candidate pair the circle cull drops must have max
+        in-tile alpha < 1/255 — i.e. the compositors' `live` gate would have
+        zeroed every one of its pixels anyway (rasterize.tile_gaussians
+        tile_miss; the cull is exact, not approximate)."""
+        from tpu_splat.gs.rasterize import tile_gaussians
+
+        n, width, height, ts, k = 256, 128, 96, 16, 256
+        tx, ty = width // ts, height // ts
+        mx = rng.uniform(-20, width + 20, n)
+        my = rng.uniform(-20, height + 20, n)
+        means2d = jnp.asarray(np.stack([mx, my], 1), jnp.float32)
+        depths = jnp.asarray(rng.uniform(0.1, 10, n), jnp.float32)
+        ops = rng.uniform(0.005, 1.0, n)
+        # anisotropic covariances; radii per projection.py's formula
+        s1 = rng.uniform(1.0, 12.0, n)
+        s2 = s1 * rng.uniform(0.15, 1.0, n)
+        th = rng.uniform(0, np.pi, n)
+        ca, sa = np.cos(th), np.sin(th)
+        # Sigma = R diag(s1^2, s2^2) R^T
+        Sxx = ca**2 * s1**2 + sa**2 * s2**2
+        Syy = sa**2 * s1**2 + ca**2 * s2**2
+        Sxy = ca * sa * (s1**2 - s2**2)
+        det = Sxx * Syy - Sxy**2
+        conic = np.stack([Syy / det, -Sxy / det, Sxx / det], 1)
+        k_exact = np.sqrt(np.maximum(2 * np.log(255.0 * ops), 0.0))
+        radii = np.ceil(np.minimum(k_exact, 3.0) * s1)
+        gidx, gvalid, _ss, _sb, big_order = tile_gaussians(
+            means2d, depths, jnp.asarray(radii, jnp.float32),
+            width, height, ts, k, opacities=jnp.asarray(ops, jnp.float32))
+        gidx, gvalid = np.asarray(gidx), np.asarray(gvalid)
+        big_order = np.asarray(big_order)
+        assert not (gvalid.sum(1) == k).any(), "test needs no K overflow"
+        # big-tier entries ride as EXTENDED ids n + slot (the pack gather
+        # appends feat[big_order] rows) — translate back to original indices
+        ext = np.concatenate([np.arange(n), big_order])
+        kept = [set(ext[gidx[t][gvalid[t]]]) for t in range(tx * ty)]
+        n_culled = 0
+        for g in range(n):
+            if radii[g] <= 0:
+                continue
+            x0 = int(np.clip((mx[g] - radii[g]) // ts, 0, tx - 1))
+            x1 = int(np.clip((mx[g] + radii[g]) // ts, 0, tx - 1))
+            y0 = int(np.clip((my[g] - radii[g]) // ts, 0, ty - 1))
+            y1 = int(np.clip((my[g] + radii[g]) // ts, 0, ty - 1))
+            for py in range(y0, y1 + 1):
+                for px in range(x0, x1 + 1):
+                    t = py * tx + px
+                    if g in kept[t]:
+                        continue
+                    n_culled += 1
+                    # max alpha over the tile's pixel grid must be < 1/255
+                    xs, ys = np.meshgrid(np.arange(px * ts, px * ts + ts),
+                                         np.arange(py * ts, py * ts + ts))
+                    dx = xs.ravel() - mx[g]
+                    dy = ys.ravel() - my[g]
+                    m2 = (conic[g, 0] * dx**2 + 2 * conic[g, 1] * dx * dy
+                          + conic[g, 2] * dy**2)
+                    amax = ops[g] * np.exp(-0.5 * m2.min())
+                    assert amax < 1.0 / 255.0, (
+                        f"culled pair (g={g}, tile={t}) has live alpha "
+                        f"{amax:.5f}")
+        assert n_culled > 20, f"cull exercised only {n_culled} pairs"

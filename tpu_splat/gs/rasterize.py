@@ -20,6 +20,7 @@ program for the whole training run.
 from __future__ import annotations
 
 import functools
+import math
 from typing import NamedTuple, Optional
 
 import jax
@@ -53,6 +54,7 @@ def tile_gaussians(
     height: int,
     tile_size: int,
     max_per_tile: int,
+    opacities: Optional[jnp.ndarray] = None,
 ):
     """Bin gaussians into per-tile depth-ordered index lists.
 
@@ -108,12 +110,46 @@ def tile_gaussians(
 
     sentinel = jnp.uint32(t_total) << shift
 
+    def tile_miss(mx, my, r, ptx, pty):
+        """Exact-preserving circle-vs-tile cull for candidate pairs.
+
+        The compositors zero any contribution with alpha < 1/255 (`live` in
+        pallas_raster._chunk_alpha and composite_tiles_reference), and `radii`
+        is already the alpha >= 1/255 iso-contour bound (projection.py:150),
+        so a pair whose mean-to-tile-rect distance exceeds the radius is
+        EXACTLY inert — culling it only removes dead packing slots (and frees
+        K capacity in overflowing tiles, strictly improving those). The bbox
+        grid alone keeps ~21% dead corner-tiles on large-coverage gaussians.
+        The rect is padded 0.5px so every pixel-center sample stays inside."""
+        lo_x = ptx.astype(jnp.float32) * tile_size - 0.5
+        lo_y = pty.astype(jnp.float32) * tile_size - 0.5
+        ddx = jnp.maximum(
+            jnp.maximum(lo_x - mx, mx - (lo_x + tile_size)), 0.0)
+        ddy = jnp.maximum(
+            jnp.maximum(lo_y - my, my - (lo_y + tile_size)), 0.0)
+        return ddx * ddx + ddy * ddy > r * r
+
+    # The cull radius must bound the TRUE alpha >= 1/255 iso-contour: the
+    # projected `radii` cap the extent at 3 sigma (projection.py:160), and
+    # opaque gaussians still have live pixels beyond 3 sigma — undo the cap
+    # by scaling with max(k_exact/3, 1). radii's ceil() and this max() both
+    # only ever grow the bound, so the cull can never drop a live pair.
+    if opacities is not None:
+        k_exact = jnp.sqrt(jnp.maximum(
+            2.0 * jnp.log(jnp.maximum(opacities * 255.0, 1e-6)), 0.0))
+        radii_cull = radii * jnp.maximum(k_exact / 3.0, 1.0)
+    else:
+        # unknown opacities: assume op=1 (k_exact = sqrt(2 ln 255) ~ 3.33)
+        radii_cull = radii * (math.sqrt(2.0 * math.log(255.0)) / 3.0)
+
     # Tier 1: 2x2 candidate grid for every gaussian.
     dx1 = jnp.arange(4, dtype=jnp.int32) % 2
     dy1 = jnp.arange(4, dtype=jnp.int32) // 2
     px1 = x0[:, None] + dx1[None, :]
     py1 = y0[:, None] + dy1[None, :]
     ok1 = small[:, None] & (px1 <= x1[:, None]) & (py1 <= y1[:, None])
+    ok1 &= ~tile_miss(means2d[:, None, 0], means2d[:, None, 1],
+                      radii_cull[:, None], px1, py1)
     tile1 = (py1 * tx + px1).astype(jnp.uint32)
     keys1 = jnp.where(ok1, (tile1 << shift) | rank_u[:, None],
                       sentinel | rank_u[:, None]).reshape(-1)
@@ -135,6 +171,9 @@ def tile_gaussians(
         & (px2 <= x1[big_order][:, None])
         & (py2 <= y1[big_order][:, None])
     )
+    ok2 &= ~tile_miss(means2d[big_order][:, None, 0],
+                      means2d[big_order][:, None, 1],
+                      radii_cull[big_order][:, None], px2, py2)
     rank_big = rank_u[big_order]
     tile2 = (py2 * tx + px2).astype(jnp.uint32)
     keys2 = jnp.where(ok2, (tile2 << shift) | rank_big[:, None],
@@ -334,7 +373,8 @@ def rasterize(
     t_total = tx * ty
 
     gidx, gvalid, slots_small, slots_big, big_order = tile_gaussians(
-        means2d, depths, radii, width, height, tile_size, max_per_tile
+        means2d, depths, radii, width, height, tile_size, max_per_tile,
+        opacities=opacities,
     )
 
     # Pack per-tile gaussian blocks: one gather in the kernel channel layout,

@@ -39,6 +39,7 @@ from tpu_splat.sfm.geometry import (
     pnp_refine_annealed,
     triangulate_dlt,
     triangulate_multiview,
+    umeyama_alignment,
 )
 from tpu_splat.sfm.matching import (
     guided_match,
@@ -349,18 +350,58 @@ class IncrementalMapper:
         rematch is not — match sets grown under a 37%-wrong prior measurably
         poison init triangulation (67/84 vs 80/87 inliers triangulated) and
         every PnP margin downstream."""
-        try:
-            return self._reconstruct()
-        except _RestartWithFocal as r:
-            self.log(f"rebuilding matches and map under calibrated "
-                     f"fx={r.fx:.1f}")
-            self.fx = self.fy = r.fx
-            self.calibrate = False  # focal is decided; regrow like a GT run
+        def one_attempt():
+            try:
+                return self._reconstruct()
+            except _RestartWithFocal as r:
+                self.log(f"rebuilding matches and map under calibrated "
+                         f"fx={r.fx:.1f}")
+                self.fx = self.fy = r.fx
+                self.calibrate = False  # focal decided; regrow like a GT run
+                self._dropped_obs = {}
+                self._attempts = np.zeros(self.n, np.int32)
+                self.match_all()
+                self.build_tracks()
+                return self._reconstruct()
+
+        # Init-pair retry (COLMAP's initialization restarts): which pair
+        # seeds the map decides whether the capture chain can grow at all —
+        # an end-of-chain init can strand images whose tracks never reach
+        # the map (measured: (0,1) init stalls the ring at 4/16 where the
+        # mid-ring (10,11) registers everything). Retry from the next-best
+        # pair while registration stays poor, keep the best map.
+        self._init_exclude = set()
+        best = None
+        attempts = []  # full map state per attempt, for sub-model merging
+        enough = self.n - max(2, self.n // 8)
+        for attempt in range(3):
+            try:
+                scene = one_attempt()
+            except RuntimeError:
+                if best is None:
+                    raise  # nothing reconstructable at all
+                break  # retries exhausted the init candidates; keep the best
+            reg = int(np.asarray(scene.registered).sum())
+            state = (reg, scene, self.R.copy(), self.t.copy(),
+                     self.registered.copy(), self.points.copy(),
+                     self.has_point.copy(), self.fx, self.fy)
+            attempts.append(state)
+            if best is None or reg > best[0]:
+                best = state
+            if reg >= enough:
+                break
+            if self._init_pair is None:
+                break
+            self.log(f"init pair {self._init_pair} only grew {reg}/{self.n} "
+                     f"cameras; retrying from the next-best pair")
+            self._init_exclude.add(self._init_pair)
             self._dropped_obs = {}
             self._attempts = np.zeros(self.n, np.int32)
-            self.match_all()
-            self.build_tracks()
-            return self._reconstruct()
+        if best[0] < enough and len(attempts) > 1:
+            merged = self._merge_submodels(best, attempts)
+            if merged is not None:
+                return merged
+        return best[1]
 
     def _reconstruct(self) -> SfMScene:
         cfg = self.cfg
@@ -377,9 +418,16 @@ class IncrementalMapper:
         # critical-surface degeneracies where a wrong E still has high consensus).
         if not self.pair_matches:
             raise RuntimeError("SfM failed to converge: no verified image pairs")
-        candidates = sorted(
-            self.pair_inliers, key=self.pair_inliers.get, reverse=True
-        )[:5]
+        exclude = getattr(self, "_init_exclude", set())
+        candidates = [
+            p for p in sorted(
+                self.pair_inliers, key=self.pair_inliers.get, reverse=True)
+            if p not in exclude
+        ][:5]
+        if not candidates:
+            raise RuntimeError(
+                "SfM failed to converge: no initialization pair left")
+        self._init_pair = None
         best = None  # (n_points, a, b, Rb, tb, points, has_point)
         done = False
         for (a, b) in candidates:
@@ -425,6 +473,7 @@ class IncrementalMapper:
             raise RuntimeError(
                 "SfM failed to converge: no initialization pair triangulates"
             )
+        self._init_pair = (a, b)
         self.R[a], self.t[a] = np.eye(3, dtype=np.float32), np.zeros(3, np.float32)
         self.R[b], self.t[b] = Rb, tb
         self.registered[:] = False
@@ -530,22 +579,126 @@ class IncrementalMapper:
                 self._filter_observations()
                 self._retriangulate()
                 since_ba = 0
-        # NOTE: if a multistart basin search chose the focal, it stays frozen
-        # through the endgame too. The estimate maximized OUT-OF-MAP
-        # registration consensus (unbiased by map warp); per-round BA focal
-        # fine-tuning re-opens the warped-ring attractor and was measured to
-        # run away 141 -> 178 across the extended BAs, re-bending the ring.
         self._bundle_adjust()
         self._readmit_observations()
         self._filter_observations()
         self._retriangulate()
-        # Re-registration rounds, iterated to closure: one image exhausting
-        # its attempts mid-run (e.g. under a still-warped self-calibrating
-        # map) orphans everything downstream of it on the capture chain — a
-        # single-pass sweep cannot recover the chain because each admission
-        # unlocks the next image's triangulations. BA every few admissions
-        # like the main loop; stop when a full pass admits nothing (COLMAP's
-        # post-BA re-registration rounds).
+        self._register_remaining()
+        # Endgame convergence loop — three mutually-unlocking repairs,
+        # iterated until none makes progress:
+        #   stiffen: the verified pair graph of a walked capture is a chain
+        #     (span 1-2), so scale drift accumulates toward the ends; with
+        #     poses known, guided-match the unverified wide-baseline pairs
+        #     into the tracks — the long-range constraints the final BA needs
+        #     to pull the chain rigid (COLMAP's transitive match expansion).
+        #   repair: re-PnP registered cameras whose observations dispute the
+        #     converged map (rescue-seeded poses survive BA as outlier
+        #     islands).
+        #   admit: re-registration rounds for still-missing images — a chain
+        #     end can only PnP once the sloppy segment next to it is repaired
+        #     (measured: image 2 climbing 4/13 -> 7/13 -> registrable across
+        #     these cycles).
+        for _ in range(3):
+            aug = self._augment_wide_pairs()
+            if aug:
+                self._retriangulate()
+                self._filter_observations()  # purge bad links before BA
+                self._bundle_adjust(extended=True)
+            fixed = self._reregister_weak_cameras()
+            if fixed:
+                self._filter_observations()
+                self._retriangulate()
+                self._bundle_adjust(extended=True)
+            admitted = self._register_remaining()
+            if not (aug or fixed or admitted):
+                break
+        # NOTE: a glomap-style rotation-averaging pass over the final map was
+        # tried here and measurably HURTS chain-topology captures (0.66 ->
+        # 1.98 center RMSE on the open 240-degree ring): without loop-closure
+        # pairs the averaged rotations inherit the same cumulative drift
+        # while discarding BA's local polish. Rotation averaging lives in
+        # global_mapper.GlobalMapper, where the capture is screened for
+        # loop-closure topology first.
+        self._filter_observations()
+        self._retriangulate()
+        self._bundle_adjust(extended=True)
+        self._filter_points()
+        return self._to_scene()
+
+    def _merge_submodels(self, best, attempts):
+        """COLMAP-style sub-model merging. Different init pairs can each grow
+        a PARTIAL map covering different spans of a capture chain (an
+        end-of-chain init strands the far end — measured: (0,1) grows cams
+        0-3, (10,11) grows 3-15, and neither alone registers the ring).
+        Align a donor attempt to the best one with a similarity transform
+        over their COMMON track points, inject the donor's poses for the
+        missing cameras (validated like rescues), then polish with the full
+        endgame. Returns the merged scene, or None if no donor helps."""
+        reg_b, _, Rb, tb, regb, ptsb, hpb, fxb, fyb = best
+        self.R, self.t = Rb.copy(), tb.copy()
+        self.registered = regb.copy()
+        self.points, self.has_point = ptsb.copy(), hpb.copy()
+        self.fx, self.fy = fxb, fyb
+        injected = 0
+        for st in attempts:
+            if st is best:
+                continue
+            reg_d, _, Rd, td, regd, ptsd, hpd, fxd, fyd = st
+            if len(hpd) != len(hpb) or abs(fxd - fxb) > 0.01 * fxb:
+                continue  # incompatible track space / focal (focal rebuild)
+            new_cams = np.nonzero(regd & ~self.registered)[0]
+            common = np.nonzero(hpd & hpb)[0]
+            if len(new_cams) == 0 or len(common) < 8:
+                continue
+            s, Rot, tr = umeyama_alignment(
+                jnp.asarray(ptsd[common], jnp.float32),
+                jnp.asarray(ptsb[common], jnp.float32))
+            s, Rot, tr = float(s), np.asarray(Rot), np.asarray(tr)
+            # donor world -> best world: X_b = s * Rot @ X_d + tr. A donor
+            # pose (R_i, t_i) then maps X_b to s * (camera coords), and
+            # projection is invariant to positive scaling of camera space:
+            #   R_new = R_i Rot^T,  t_new = s t_i - R_new tr
+            thresh = 3.0 * self.cfg.max_reproj_error_px / self.fx
+            for i in new_cams:
+                R_new = (Rd[i] @ Rot.T).astype(np.float32)
+                t_new = (s * td[i] - R_new @ tr).astype(np.float32)
+                tids = [t_ for t_ in self.img_tracks[i] if self.has_point[t_]]
+                if len(tids) >= 4:
+                    feats = np.array([self.img_tracks[i][t_] for t_ in tids])
+                    xn = self._norm_coords(int(i), feats)
+                    pc = self.points[tids] @ R_new.T + t_new
+                    z = np.maximum(pc[:, 2], 1e-9)
+                    err = np.where(
+                        pc[:, 2] > 1e-6,
+                        np.linalg.norm(pc[:, :2] / z[:, None] - xn, axis=-1),
+                        np.inf)
+                    if float(np.median(err)) > thresh:
+                        continue
+                self.R[i], self.t[i] = R_new, t_new
+                self.registered[i] = True
+                injected += 1
+                self.log(f"merged camera {int(i)} from a sibling sub-model "
+                         f"(alignment over {len(common)} shared points)")
+        if injected == 0:
+            return None
+        self._retriangulate()
+        self._filter_observations()
+        self._bundle_adjust(extended=True)
+        self._reregister_weak_cameras()
+        self._register_remaining()
+        self._filter_observations()
+        self._retriangulate()
+        self._bundle_adjust(extended=True)
+        self._filter_points()
+        return self._to_scene()
+
+    def _register_remaining(self) -> int:
+        """Re-registration rounds for still-unregistered images, iterated to
+        closure (each admission unlocks the next image's triangulations, so a
+        single pass cannot recover an orphaned chain segment). BA every few
+        admissions like the main loop; stop when a full pass admits nothing
+        (COLMAP's post-BA re-registration rounds)."""
+        total = 0
         for _ in range(3):
             if self.registered.all():
                 break
@@ -564,33 +717,14 @@ class IncrementalMapper:
                             self._retriangulate()
             if not swept:
                 break
+            total += swept
             self._readmit_observations()
             self._filter_observations()
             self._retriangulate()
             self._bundle_adjust(extended=True)
-        # Loop-stiffening: the verified pair graph of a walked capture is a
-        # chain (span 1-2), so scale drift accumulates toward the ends. With
-        # poses now known, guided-match the unverified wide-baseline pairs and
-        # merge them into the tracks — the long-range constraints the final BA
-        # needs to pull the chain rigid (COLMAP gets the same effect from its
-        # transitive match expansion). Annealed: each augment+BA round unbends
-        # the map a little, which lets the next round verify wide pairs whose
-        # map-predicted pose was previously too far off — iterate until no new
-        # pairs land.
-        for _ in range(3):
-            if self._augment_wide_pairs() == 0:
-                break
-            self._retriangulate()
-            self._filter_observations()  # purge bad links before BA sees them
-            self._bundle_adjust(extended=True)
-        self._reregister_weak_cameras()
-        self._filter_observations()
-        self._retriangulate()
-        self._bundle_adjust(extended=True)
-        self._filter_points()
-        return self._to_scene()
+        return total
 
-    def _reregister_weak_cameras(self):
+    def _reregister_weak_cameras(self) -> int:
         """Re-PnP cameras whose observations disagree with the converged map.
 
         Relative-pose rescue registrations can land a camera on a locally-
@@ -598,7 +732,8 @@ class IncrementalMapper:
         island (its own observations get filtered instead of pulling it in).
         With the rest of the map converged, plain annealed PnP from the map
         recovers such cameras (COLMAP's equivalent is its re-registration of
-        under-constrained images after global BA)."""
+        under-constrained images after global BA). Returns the repair count."""
+        n_fixed = 0
         max_err_n = self.cfg.max_reproj_error_px / self.fx
         for i in np.nonzero(self.registered)[0]:
             tids = [tid for tid in self.img_tracks[i] if self.has_point[tid]]
@@ -615,10 +750,12 @@ class IncrementalMapper:
                 continue
             old_R, old_t = self.R[i].copy(), self.t[i].copy()
             if self._register_image(int(i)):
+                n_fixed += 1
                 self.log(f"re-registered weak camera {i} "
                          f"(median err was {med * self.fx:.1f}px)")
             else:
                 self.R[i], self.t[i] = old_R, old_t
+        return n_fixed
 
     def _filter_observations(self):
         """Drop individual track observations whose reprojection error exceeds the
@@ -843,8 +980,12 @@ class IncrementalMapper:
 
     def _register_image(self, i: int, min_inliers: Optional[int] = None) -> bool:
         min_inliers = min_inliers or self.cfg.min_pnp_inliers
+        # Bail only below the ratio-acceptance floor (8): an image seeing
+        # 8-11 live points can still register through the high-consensus
+        # path below — skipping PnP entirely for it forces the far riskier
+        # relative-pose rescue.
         if sum(1 for tid in self.img_tracks[i] if self.has_point[tid]) \
-                < min_inliers:
+                < min(min_inliers, 8):
             return False
         res = self._pnp_solve(i)
         if res is None:
@@ -1006,7 +1147,12 @@ class IncrementalMapper:
             d_rel = float(X_rel[row, 2])
             if d_global > 1e-6 and d_rel > 1e-6:
                 ratios.append(d_global / d_rel)
-        if len(ratios) < 2:
+        # Scale-transfer evidence floor: a median over <6 depth ratios is
+        # noise, and a wrong scale here compounds down the rescue chain
+        # (measured: 3-4-track rescues at cams 4-6 bent the ring to 2.4
+        # center RMSE). Under-evidenced images defer to the endgame
+        # re-registration rounds instead.
+        if len(ratios) < 6:
             return False
         s = float(np.median(ratios))
         # compose: w2c_i = [Rrel | s*trel] o w2c_r
