@@ -616,9 +616,10 @@ class IncrementalMapper:
         # tried here and measurably HURTS chain-topology captures (0.66 ->
         # 1.98 center RMSE on the open 240-degree ring): without loop-closure
         # pairs the averaged rotations inherit the same cumulative drift
-        # while discarding BA's local polish. Rotation averaging lives in
-        # global_mapper.GlobalMapper, where the capture is screened for
-        # loop-closure topology first.
+        # while discarding BA's local polish. Rotation averaging remains
+        # available as the explicit glomap-parity path
+        # (global_mapper.run_global_sfm); do not bolt it onto the
+        # incremental endgame without a loop-closure topology screen.
         self._filter_observations()
         self._retriangulate()
         self._bundle_adjust(extended=True)
