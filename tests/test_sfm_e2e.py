@@ -273,16 +273,20 @@ def test_sfm_recovers_forward_walk(walk_capture):
                     log_fn=logs.append)
     rmse = _walk_rmse(scene, viewmats_gt, logs)
     scene_size = 5.0  # walk span
-    # ratchet: r2 10% -> r3 5% (measured 1.6% of span)
-    assert rmse < 0.05 * scene_size, f"camera center RMSE {rmse:.3f}; log: {logs}"
+    # ratchet: r2 10% -> r3 5% (measured 1.6%) -> r3-late 3.5% (measured
+    # 0.98% of span on the culled-render content)
+    assert rmse < 0.035 * scene_size, \
+        f"camera center RMSE {rmse:.3f}; log: {logs}"
 
 
 def test_sfm_self_calibration_forward_walk(walk_capture):
     """No intrinsics on the walk scene: forward-facing motion is the classic
     focal-depth ambiguity, so only pose quality is asserted (measured r3:
-    1.4% of span with self-calibration vs 1.6% with the raw prior)."""
+    1.07% of span with self-calibration vs 0.98% with GT focal — the
+    recovered focal lands ~12% low, exactly the ambiguity trading focal
+    against scene depth with poses unharmed). Ratchet: r3 10% -> 4%."""
     images, viewmats_gt = walk_capture
     logs = []
     scene = run_sfm(images, _walk_cfg(), log_fn=logs.append)  # no intrinsics
     rmse = _walk_rmse(scene, viewmats_gt, logs)
-    assert rmse < 0.1 * 5.0, f"camera center RMSE {rmse:.3f}; log: {logs}"
+    assert rmse < 0.04 * 5.0, f"camera center RMSE {rmse:.3f}; log: {logs}"

@@ -127,3 +127,43 @@ class TestPnP:
         dt = np.linalg.norm(np.asarray(t2) - t_gt)
         assert dr < 0.5, f"rotation err {dr}"
         assert dt < 0.02, f"translation err {dt}"
+
+
+class TestSubmodelMergeTransform:
+    def test_donor_pose_transform_preserves_projection(self, rng):
+        """The similarity-transform pose mapping used by
+        mapper._merge_submodels: X_best = s*Rot@X_donor + tr implies
+        R' = R_i Rot^T, t' = s*t_i - R' tr, which must reproject the
+        transformed points identically (projection is scale-invariant in
+        camera space)."""
+        from tpu_splat.sfm.geometry import log_so3  # noqa: F401 (module dep)
+
+        def rand_rot():
+            q = rng.normal(size=4)
+            q /= np.linalg.norm(q)
+            w, x, y, z = q
+            return np.array([
+                [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+                [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+                [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+            ])
+
+        X_d = rng.normal(size=(40, 3)) + np.array([0, 0, 6.0])
+        R_i, t_i = rand_rot(), rng.normal(size=3)
+        # keep points in front of the donor camera
+        pc = X_d @ R_i.T + t_i
+        X_d = X_d[pc[:, 2] > 0.5]
+        s = float(rng.uniform(0.3, 3.0))
+        Rot, tr = rand_rot(), rng.normal(size=3)
+        X_b = s * X_d @ Rot.T + tr
+
+        R_new = R_i @ Rot.T
+        t_new = s * t_i - R_new @ tr
+
+        pc_d = X_d @ R_i.T + t_i
+        pc_b = X_b @ R_new.T + t_new
+        proj_d = pc_d[:, :2] / pc_d[:, 2:3]
+        proj_b = pc_b[:, :2] / pc_b[:, 2:3]
+        np.testing.assert_allclose(proj_b, proj_d, rtol=1e-5, atol=1e-6)
+        # camera-space coords are exactly the scaled donor coords
+        np.testing.assert_allclose(pc_b, s * pc_d, rtol=1e-5, atol=1e-6)
