@@ -113,6 +113,23 @@ def _eight_point(x1n: jnp.ndarray, x2n: jnp.ndarray,
     return u @ jnp.diag(jnp.array([1.0, 1.0, 0.0]) * s_mean) @ vt2
 
 
+@functools.lru_cache(maxsize=None)
+def _fib_sphere_dirs_np(n: int):
+    import numpy as _np
+    i = _np.arange(n) + 0.5
+    phi = _np.arccos(1 - 2 * i / n)
+    theta = _np.pi * (1 + 5**0.5) * i
+    return _np.stack(
+        [_np.sin(phi) * _np.cos(theta), _np.sin(phi) * _np.sin(theta),
+         _np.cos(phi)], axis=-1).astype(_np.float32)
+
+
+def _fib_sphere_dirs(n: int) -> jnp.ndarray:
+    """Fibonacci-lattice unit directions (trace-time constant; numpy-cached —
+    never cache jnp arrays created under jit, see CLAUDE.md)."""
+    return jnp.asarray(_fib_sphere_dirs_np(n))
+
+
 def sampson_error(E: jnp.ndarray, x1n: jnp.ndarray, x2n: jnp.ndarray) -> jnp.ndarray:
     """Sampson distance of normalized correspondences to an essential matrix."""
     ones = jnp.ones_like(x1n[:, :1])
@@ -146,16 +163,29 @@ def essential_ransac(
     consensus; stages 2 and 3 redraw *larger* least-squares samples (24 and 40
     points) restricted to the previous consensus, which is now pure enough that
     most samples are clean and the better-conditioned LS fit recovers the full
-    inlier set. All stages are batched (S x M dense scoring, XLA-friendly)."""
+    inlier set. All stages are batched (S x M dense scoring, XLA-friendly).
+
+    Hypotheses are selected by MSAC score (sum of threshold-truncated squared
+    Sampson errors), not inlier count. Counting saturates on rotation-dominant
+    pairs: the classic sideways-translation / pan-rotation ambiguity yields a
+    wrong model whose residuals all sit just under a loose threshold, tying or
+    beating the true model's count (measured on a 20-view orbit: every
+    adjacent pair decoded ~22deg off with count selection, while the truncated
+    cost separated true/wrong by ~2x at 1px)."""
     m = x1n.shape[0]
+    t2 = threshold**2
+
+    def msac_cost(errs):
+        # invalid rows contribute the cap, so they never influence selection
+        return jnp.sum(jnp.where(valid, jnp.minimum(errs, t2), t2), axis=-1)
 
     def stage(k, probs, n_sample, n_hyp):
         idx = jax.random.choice(k, m, shape=(n_hyp, n_sample), p=probs)
         Es = jax.vmap(lambda i: _eight_point(x1n[i], x2n[i]))(idx)
         errs = jax.vmap(lambda E: sampson_error(E, x1n, x2n))(Es)
-        inl = (errs < threshold**2) & valid[None, :]
-        best = jnp.argmax(jnp.sum(inl, axis=-1))
-        return Es[best], inl[best]
+        best = jnp.argmin(jax.vmap(msac_cost)(errs))
+        inl = (errs[best] < t2) & valid
+        return Es[best], inl
 
     k1, k2, k3 = jax.random.split(key, 3)
     probs0 = valid.astype(jnp.float32)
@@ -170,16 +200,30 @@ def essential_ransac(
     p = p / jnp.maximum(p.sum(), 1.0)
     E_best, inl_best = stage(k3, p, 40, num_hypotheses // 2)
 
-    # Final polish: trimmed Gauss-Newton on the essential manifold (5 DOF:
-    # rotation + translation direction), minimizing the signed Sampson residual
-    # over hard-trimmed inliers. Both twisted-pair rotations give the same E, so
-    # one start suffices; chirality is resolved later in decompose_essential.
-    u, _, vt = jnp.linalg.svd(E_best)
-    u = u * jnp.sign(jnp.linalg.det(u))
-    vt = vt * jnp.sign(jnp.linalg.det(vt))
-    W = jnp.array([[0.0, -1, 0], [1, 0, 0], [0, 0, 1]])
-    R0 = u @ W @ vt
-    t0 = u[:, 2]
+    # Quasi-degeneracy rescue + multistart polish. Rotation-dominant pairs
+    # (orbit/turntable steps) leave the epipolar design matrix with a
+    # near-degenerate tail: the true essential lies in the span of the last
+    # few right singular vectors but NOT along the last one, so every linear
+    # fit above — minimal or LS — lands ~20deg off in the same wrong basin
+    # (measured on a 20-view ring: every adjacent pair decoded ~22deg off).
+    # The wrong basin is wide and the true one narrow, so scoring UNPOLISHED
+    # candidates always favors the wrong basin; only bottom-vs-bottom
+    # comparison is reliable (measured: GT bottom wins at every truncation).
+    # Hence: refit on the consensus, span the last-3 singular vectors with a
+    # Fibonacci sphere, manifold-project, GN-polish EVERY candidate to its
+    # basin bottom, then select by MSAC. Healthy spectra make all starts
+    # collapse into the single basin — a no-op beyond the old single polish.
+    wcons = inl_best.astype(x1n.dtype)
+    u1, v1 = x1n[:, 0], x1n[:, 1]
+    u2, v2 = x2n[:, 0], x2n[:, 1]
+    A = jnp.stack(
+        [u2 * u1, u2 * v1, u2, v2 * u1, v2 * v1, v2, u1, v1, jnp.ones_like(u1)],
+        axis=-1,
+    ) * wcons[:, None]
+    _, _, vtA = jnp.linalg.svd(A, full_matrices=False)
+    basis = vtA[-3:]  # (3, 9)
+    dirs = _fib_sphere_dirs(512)
+    cands = (dirs @ basis).reshape(-1, 3, 3)
 
     ones = jnp.ones_like(x1n[:, :1])
     p1 = jnp.concatenate([x1n, ones], axis=-1)
@@ -192,27 +236,46 @@ def essential_ransac(
         den = Ep1[:, 0] ** 2 + Ep1[:, 1] ** 2 + Etp2[:, 0] ** 2 + Etp2[:, 1] ** 2
         return num / jnp.sqrt(jnp.maximum(den, 1e-12))
 
-    def E_of(params):
-        w, dt = params[:3], params[3:]
-        t = t0 + dt
-        t = t / jnp.maximum(jnp.linalg.norm(t), 1e-9)
-        return hat(t) @ (exp_so3(w) @ R0)
+    def polish(E_init):
+        # Trimmed Gauss-Newton on the essential manifold (5 DOF: rotation +
+        # translation direction), minimizing the signed Sampson residual over
+        # hard-trimmed inliers. Both twisted-pair rotations give the same E,
+        # so one start per candidate suffices; chirality is resolved later in
+        # decompose_essential.
+        u, _, vt = jnp.linalg.svd(E_init)
+        u = u * jnp.sign(jnp.linalg.det(u))
+        vt = vt * jnp.sign(jnp.linalg.det(vt))
+        W = jnp.array([[0.0, -1, 0], [1, 0, 0], [0, 0, 1]])
+        R0 = u @ W @ vt
+        t0 = u[:, 2]
 
-    def gn_step(params, _):
-        r = signed_sampson(E_of(params))
-        wgt = ((jnp.abs(r) < threshold) & valid).astype(x1n.dtype)
-        J = jax.jacfwd(lambda q: signed_sampson(E_of(q)))(params)
-        JW = J * wgt[:, None]
-        H = JW.T @ J + 1e-4 * jnp.eye(6)
-        return params - jnp.linalg.solve(H, JW.T @ r), None
+        def E_of(params):
+            w, dt = params[:3], params[3:]
+            t = t0 + dt
+            t = t / jnp.maximum(jnp.linalg.norm(t), 1e-9)
+            return hat(t) @ (exp_so3(w) @ R0)
 
-    params, _ = jax.lax.scan(gn_step, jnp.zeros(6), None, length=10)
-    E_ref = E_of(params)
-    inl_ref = (sampson_error(E_ref, x1n, x2n) < threshold**2) & valid
-    # Keep the refined estimate only if it does not lose consensus.
-    better = jnp.sum(inl_ref) >= jnp.sum(inl_best)
-    E_out = jnp.where(better, E_ref, E_best)
-    inl_out = jnp.where(better, inl_ref, inl_best)
+        def gn_step(params, _):
+            r = signed_sampson(E_of(params))
+            wgt = ((jnp.abs(r) < threshold) & valid).astype(x1n.dtype)
+            J = jax.jacfwd(lambda q: signed_sampson(E_of(q)))(params)
+            JW = J * wgt[:, None]
+            H = JW.T @ J + 1e-4 * jnp.eye(6)
+            return params - jnp.linalg.solve(H, JW.T @ r), None
+
+        params, _ = jax.lax.scan(gn_step, jnp.zeros(6), None, length=10)
+        return E_of(params)
+
+    # stage-3 winner joins the candidate pool (guards the healthy case)
+    cands = jnp.concatenate([E_best[None], cands], axis=0)
+    polished = jax.vmap(polish)(cands)
+    costs = jax.vmap(lambda E: msac_cost(sampson_error(E, x1n, x2n)))(polished)
+    # unpolished stage-3 winner competes too (polish must never lose ground)
+    best_cost = msac_cost(sampson_error(E_best, x1n, x2n))
+    k = jnp.argmin(costs)
+    use_best = best_cost <= costs[k]
+    E_out = jnp.where(use_best, E_best, polished[k])
+    inl_out = (sampson_error(E_out, x1n, x2n) < t2) & valid
     return E_out, inl_out
 
 
