@@ -111,20 +111,24 @@ def check_pack_gather(rng):
     depths = jnp.asarray(rng.uniform(0.1, 10, n), jnp.float32)
     radii = jnp.asarray(np.where(rng.uniform(size=n) < 0.9,
                                  rng.uniform(1, 40, n), 0.0), jnp.float32)
-    gidx, gvalid, ss, sb, bo = jax.jit(
+    b = jax.jit(
         lambda m, d, r: tile_gaussians(m, d, r, width, height, 16, k)
     )(means2d, depths, radii)
-    t_total = gidx.shape[0]
+    t_total = b.gidx.shape[0]
     feat = jnp.asarray(rng.standard_normal((n, pr.C_PACK)), jnp.float32)
-    gidx_ext = jnp.where(gvalid, gidx, n + bo.shape[0])
+    sent = n + b.big_order.shape[0] + b.mid_order.shape[0]
+    gidx_ext = jnp.where(b.gvalid, b.gidx, sent)
     cot = jnp.asarray(
         rng.standard_normal((pr.C_PACK, t_total, k)), jnp.float32)
 
     def loss_custom(f):
-        return jnp.sum(_pack_gather(f, gidx_ext, ss, sb, bo, t_total * k) * cot)
+        return jnp.sum(
+            _pack_gather(f, gidx_ext, b.slots_prim, b.slots_mid, b.slots_big,
+                         b.mid_order, b.big_order, t_total * k) * cot)
 
     def loss_ref(f):
-        f_ext = jnp.concatenate([f, f[bo], jnp.zeros_like(f[:1])], 0)
+        f_ext = jnp.concatenate(
+            [f, f[b.big_order], f[b.mid_order], jnp.zeros_like(f[:1])], 0)
         packed = f_ext[gidx_ext.reshape(-1)].T.reshape(pr.C_PACK, t_total, k)
         return jnp.sum(packed * cot)
 

@@ -100,10 +100,10 @@ def main():
         max_per_tile=2 * K))
 
     def f_bin16(m2d_, depths_, r_, i):
-        gidx, gvalid, ss, sb, bo = tile_gaussians(
-            m2d_ + 0.0 * i, depths_, r_, width, height, 16, K)
-        return (jnp.sum(gidx.astype(jnp.float32)) + jnp.sum(ss.astype(jnp.float32))
-                + jnp.sum(sb.astype(jnp.float32)))
+        b = tile_gaussians(m2d_ + 0.0 * i, depths_, r_, width, height, 16, K)
+        return (jnp.sum(b.gidx.astype(jnp.float32))
+                + jnp.sum(b.slots_prim.astype(jnp.float32))
+                + jnp.sum(b.slots_big.astype(jnp.float32)))
 
     bench_scan(f_bin16, (m2d, depths, radii), name="binning tile16 K512")
 
@@ -115,30 +115,39 @@ def main():
 
     bench_scan(f_bin32, (m2d, depths, radii), name="binning group32 K1024")
 
-    gidx, gvalid, ss, sb, bo = tg16(m2d, depths, radii)
-    t_total = gidx.shape[0]
-    gidx_ext = jnp.where(gvalid, gidx, capacity + bo.shape[0])
+    b16 = tg16(m2d, depths, radii)
+    t_total = b16.gidx.shape[0]
+    gidx_ext = jnp.where(
+        b16.gvalid, b16.gidx,
+        capacity + b16.big_order.shape[0] + b16.mid_order.shape[0])
 
     def f_pack16(feat_, i):
-        packed = _pack_gather(feat_ + 0.0 * i, gidx_ext, ss, sb, bo, t_total * K)
+        packed = _pack_gather(feat_ + 0.0 * i, gidx_ext, b16.slots_prim,
+                              b16.slots_mid, b16.slots_big, b16.mid_order,
+                              b16.big_order, t_total * K)
         return jnp.sum(packed)
 
     bench_scan(f_pack16, (feat,), name="pack fwd tile16 K512")
 
-    gidx2, gvalid2, ss2, sb2, bo2 = tg32(m2d, depths, radii)
-    g_total = gidx2.shape[0]
-    gidx_ext2 = jnp.where(gvalid2, gidx2, capacity + bo2.shape[0])
+    b32 = tg32(m2d, depths, radii)
+    g_total = b32.gidx.shape[0]
+    gidx_ext2 = jnp.where(
+        b32.gvalid, b32.gidx,
+        capacity + b32.big_order.shape[0] + b32.mid_order.shape[0])
 
     def f_pack32(feat_, i):
-        packed = _pack_gather(feat_ + 0.0 * i, gidx_ext2, ss2, sb2, bo2,
-                              g_total * 2 * K)
+        packed = _pack_gather(feat_ + 0.0 * i, gidx_ext2, b32.slots_prim,
+                              b32.slots_mid, b32.slots_big, b32.mid_order,
+                              b32.big_order, g_total * 2 * K)
         return jnp.sum(packed)
 
     bench_scan(f_pack32, (feat,), name=f"pack fwd group32 K1024 ({g_total} groups)")
 
     def f_pack32_grad(feat_, i):
         def loss(f_):
-            return jnp.sum(_pack_gather(f_, gidx_ext2, ss2, sb2, bo2,
+            return jnp.sum(_pack_gather(f_, gidx_ext2, b32.slots_prim,
+                                        b32.slots_mid, b32.slots_big,
+                                        b32.mid_order, b32.big_order,
                                         g_total * 2 * K))
         return jax.grad(loss)(feat_ + 0.0 * i).sum()
 

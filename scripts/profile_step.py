@@ -102,24 +102,28 @@ def main():
 
     # phase 2: binning
     def f_bin(m2d, depths, r, i):
-        gidx, gvalid, ss, sb, bo = tile_gaussians(
-            m2d + 0.0 * i, depths, r, width, height, 16, K)
-        return (jnp.sum(gidx.astype(jnp.float32)) + jnp.sum(ss.astype(jnp.float32))
-                + jnp.sum(sb.astype(jnp.float32)))
+        b = tile_gaussians(m2d + 0.0 * i, depths, r, width, height, 16, K)
+        return (jnp.sum(b.gidx.astype(jnp.float32))
+                + jnp.sum(b.slots_prim.astype(jnp.float32))
+                + jnp.sum(b.slots_mid.astype(jnp.float32))
+                + jnp.sum(b.slots_big.astype(jnp.float32)))
 
     bench_scan(f_bin, (proj.means2d, proj.depths, radii), name="binning (sorts)")
 
-    gidx, gvalid, ss, sb, bo = tile_gaussians(
+    b = tile_gaussians(
         proj.means2d, proj.depths, radii, width, height, 16, K)
-    t_total = gidx.shape[0]
+    t_total = b.gidx.shape[0]
     feat = jnp.concatenate(
         [proj.means2d, proj.conics, params["sh0"], params["opacities"][:, None],
          proj.depths[:, None], jnp.zeros((capacity, pr.C_PACK - 10))], axis=-1)
-    gidx_ext = jnp.where(gvalid, gidx, capacity)
+    sent = capacity + b.big_order.shape[0] + b.mid_order.shape[0]
+    gidx_ext = jnp.where(b.gvalid, b.gidx, sent)
 
     # phase 3: pack gather fwd
     def f_pack(feat, i):
-        packed = _pack_gather(feat + 0.0 * i, gidx_ext, ss, sb, bo, t_total * K)
+        packed = _pack_gather(feat + 0.0 * i, gidx_ext, b.slots_prim,
+                             b.slots_mid, b.slots_big, b.mid_order,
+                             b.big_order, t_total * K)
         return jnp.sum(packed)
 
     bench_scan(f_pack, (feat,), name="pack gather (fwd)")
@@ -127,12 +131,15 @@ def main():
     # phase 3b: pack gather fwd+bwd
     def f_pack_grad(feat, i):
         def loss(f):
-            return jnp.sum(_pack_gather(f, gidx_ext, ss, sb, bo, t_total * K))
+            return jnp.sum(_pack_gather(f, gidx_ext, b.slots_prim, b.slots_mid,
+                                 b.slots_big, b.mid_order, b.big_order,
+                                 t_total * K))
         return jax.grad(loss)(feat + 0.0 * i).sum()
 
     bench_scan(f_pack_grad, (feat,), name="pack gather (fwd+bwd)")
 
-    packed = _pack_gather(feat, gidx_ext, ss, sb, bo, t_total * K)
+    packed = _pack_gather(feat, gidx_ext, b.slots_prim, b.slots_mid,
+                          b.slots_big, b.mid_order, b.big_order, t_total * K)
 
     # phase 4: composite kernel fwd
     def f_comp(packed, i):

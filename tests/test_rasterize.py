@@ -234,19 +234,22 @@ class TestPackGatherVJP:
         depths = jnp.asarray(rng.uniform(0.1, 10, n), jnp.float32)
         radii = jnp.asarray(np.where(rng.uniform(size=n) < 0.9,
                                      rng.uniform(1, 30, n), 0.0), jnp.float32)
-        gidx, gvalid, ss, sb, bo = tile_gaussians(
-            means2d, depths, radii, width, height, 16, k)
-        t_total = gidx.shape[0]
+        b = tile_gaussians(means2d, depths, radii, width, height, 16, k)
+        t_total = b.gidx.shape[0]
         feat = jnp.asarray(rng.standard_normal((n, 16)), jnp.float32)
-        gidx_ext = jnp.where(gvalid, gidx, n + bo.shape[0])
+        sent = n + b.big_order.shape[0] + b.mid_order.shape[0]
+        gidx_ext = jnp.where(b.gvalid, b.gidx, sent)
         cot = jnp.asarray(rng.standard_normal((16, t_total, k)), jnp.float32)
 
         def loss_custom(f):
-            return jnp.sum(_pack_gather(f, gidx_ext, ss, sb, bo, t_total * k)
-                           * cot)
+            return jnp.sum(
+                _pack_gather(f, gidx_ext, b.slots_prim, b.slots_mid,
+                             b.slots_big, b.mid_order, b.big_order,
+                             t_total * k) * cot)
 
         def loss_ref(f):
-            f_ext = jnp.concatenate([f, f[bo], jnp.zeros_like(f[:1])], 0)
+            f_ext = jnp.concatenate(
+                [f, f[b.big_order], f[b.mid_order], jnp.zeros_like(f[:1])], 0)
             packed = f_ext[gidx_ext.reshape(-1)].T.reshape(16, t_total, k)
             return jnp.sum(packed * cot)
 
@@ -256,8 +259,56 @@ class TestPackGatherVJP:
         err = np.abs(g_c - g_r).max() / scale
         assert err < 5e-3, f"pack VJP rel err {err:.2e}"
         # forward values stay finite under the bf16 encode/decode
-        p = np.asarray(_pack_gather(feat, gidx_ext, ss, sb, bo, t_total * k))
+        p = np.asarray(
+            _pack_gather(feat, gidx_ext, b.slots_prim, b.slots_mid,
+                         b.slots_big, b.mid_order, b.big_order, t_total * k))
         assert np.isfinite(p).all()
+
+
+class TestTierOverflow:
+    def test_mid_overflow_counts_and_degrades_gracefully(self, rng):
+        """Tier 1 is capacity-capped: gaussians beyond the cap keep only
+        their primary cell (graceful quality loss, never a crash) and the
+        Binning reports how many were dropped."""
+        from tpu_splat.gs.rasterize import tile_gaussians
+
+        n, width, height = 20000, 640, 480
+        # radius 10 at 16px tiles: spans at most 2x2, and nearly every
+        # position straddles at least one tile boundary -> multi-cell
+        means2d = jnp.asarray(np.stack(
+            [rng.uniform(20, width - 20, n),
+             rng.uniform(20, height - 20, n)], 1), jnp.float32)
+        depths = jnp.asarray(rng.uniform(0.1, 10, n), jnp.float32)
+        radii = jnp.full((n,), 10.0, jnp.float32)
+        b = tile_gaussians(means2d, depths, radii, width, height, 16, 128)
+        k_mid = b.mid_order.shape[0]
+        assert k_mid == n // 2
+        assert int(b.mid_overflow) > 0
+        # every valid gaussian still appears at least once (primary cell for
+        # smalls / overflow mids, center tile for overflow bigs) ...
+        ext = np.concatenate(
+            [np.arange(n), np.asarray(b.big_order), np.asarray(b.mid_order)])
+        seen = np.zeros(n, bool)
+        gidx, gvalid = np.asarray(b.gidx), np.asarray(b.gvalid)
+        seen[ext[gidx[gvalid]]] = True
+        assert seen.all()
+        # ... and never twice in the same tile (a duplicate pair would
+        # composite the gaussian twice)
+        for t in range(gidx.shape[0]):
+            ids = ext[gidx[t][gvalid[t]]]
+            assert len(ids) == len(set(ids)), f"duplicate pair in tile {t}"
+
+    def test_no_overflow_on_small_radii(self, rng):
+        from tpu_splat.gs.rasterize import tile_gaussians
+
+        n, width, height = 8192, 640, 480
+        means2d = jnp.asarray(np.stack(
+            [rng.uniform(0, width, n), rng.uniform(0, height, n)], 1),
+            jnp.float32)
+        depths = jnp.asarray(rng.uniform(0.1, 10, n), jnp.float32)
+        radii = jnp.asarray(rng.uniform(1.0, 5.0, n), jnp.float32)
+        b = tile_gaussians(means2d, depths, radii, width, height, 16, 128)
+        assert int(b.mid_overflow) == 0
 
 
 class TestCircleCull:
@@ -288,15 +339,17 @@ class TestCircleCull:
         conic = np.stack([Syy / det, -Sxy / det, Sxx / det], 1)
         k_exact = np.sqrt(np.maximum(2 * np.log(255.0 * ops), 0.0))
         radii = np.ceil(np.minimum(k_exact, 3.0) * s1)
-        gidx, gvalid, _ss, _sb, big_order = tile_gaussians(
+        b = tile_gaussians(
             means2d, depths, jnp.asarray(radii, jnp.float32),
             width, height, ts, k, opacities=jnp.asarray(ops, jnp.float32))
-        gidx, gvalid = np.asarray(gidx), np.asarray(gvalid)
-        big_order = np.asarray(big_order)
+        gidx, gvalid = np.asarray(b.gidx), np.asarray(b.gvalid)
         assert not (gvalid.sum(1) == k).any(), "test needs no K overflow"
-        # big-tier entries ride as EXTENDED ids n + slot (the pack gather
-        # appends feat[big_order] rows) — translate back to original indices
-        ext = np.concatenate([np.arange(n), big_order])
+        assert int(b.mid_overflow) == 0
+        # tier-1/2 entries ride as EXTENDED ids past n (the pack gather
+        # appends feat[big_order] then feat[mid_order] rows) — translate
+        # back to original indices
+        ext = np.concatenate(
+            [np.arange(n), np.asarray(b.big_order), np.asarray(b.mid_order)])
         kept = [set(ext[gidx[t][gvalid[t]]]) for t in range(tx * ty)]
         n_culled = 0
         for g in range(n):

@@ -42,6 +42,19 @@ class RasterOutput(NamedTuple):
     depth: jnp.ndarray  # (H, W) expected depth (alpha-weighted)
 
 
+class Binning(NamedTuple):
+    """tile_gaussians output (see its docstring for field semantics)."""
+
+    gidx: jnp.ndarray         # (T, K) int32 extended gaussian ids
+    gvalid: jnp.ndarray       # (T, K) bool
+    slots_prim: jnp.ndarray   # (N, 1) int32 tier-0 inverse slots
+    slots_mid: jnp.ndarray    # (K_mid, 3) int32 tier-1 inverse slots
+    slots_big: jnp.ndarray    # (K_big, m2) int32 tier-2 inverse slots
+    mid_order: jnp.ndarray    # (K_mid,) int32 original ids of tier 1
+    big_order: jnp.ndarray    # (K_big,) int32 original ids of tier 2
+    mid_overflow: jnp.ndarray  # () int32 diagnostic
+
+
 def _ceil_div(a: int, b: int) -> int:
     return -(-a // b)
 
@@ -58,19 +71,27 @@ def tile_gaussians(
 ):
     """Bin gaussians into per-tile depth-ordered index lists.
 
-    Returns (gidx, gvalid, slots_small, slots_big, big_order):
-      gidx:       (T, K) int32 ORIGINAL gaussian indices, depth-ordered per tile.
+    Returns a `Binning`:
+      gidx:       (T, K) int32 EXTENDED gaussian indices, depth-ordered per
+                  tile (tier-1/2 entries address rows appended after the
+                  originals — see _pack_gather).
       gvalid:     (T, K) bool.
       slots_*:    inverse maps pair -> flat packed slot (T*K sentinel when
                   dropped), used for the gather-based gradient of packing.
+      mid_order:  (K_mid,) original indices of the 2x2 multi-cell tier.
       big_order:  (K_big,) original indices of the large-coverage tier.
+      mid_overflow: scalar int32, gaussians that needed tier 1 but were
+                  beyond its capacity (diagnostic; 0 on healthy workloads).
 
     Everything stays in ORIGINAL gaussian index space — no permutation of the
     differentiable feature arrays ever happens, so no gradient ever needs a
-    scatter. Two-tier pair generation keeps the sort small: almost all gaussians
-    span at most 2x2 tiles (4 candidate pairs); only a capped set of large ones
-    get the full MAX_COVER grid. Keys pack (tile_id << shift | depth_rank) into one
-    uint32 so a single u32 sort yields per-tile depth order directly.
+    scatter. Three-tier pair generation keeps the sort small (it is the main
+    HBM traffic of binning): after the exact circle cull most gaussians touch
+    exactly ONE live tile, so tier 0 emits a single primary-cell key per
+    gaussian; a capped set that still spans >1 live cell of its 2x2 grid
+    emits the remaining 3 cells (tier 1); a capped set of large ones gets the
+    full MAX_COVER grid (tier 2). Keys pack (tile_id << shift | depth_rank)
+    into one uint32 so a single u32 sort yields per-tile depth order directly.
     """
     n = means2d.shape[0]
     tx = _ceil_div(width, tile_size)
@@ -142,20 +163,64 @@ def tile_gaussians(
         # unknown opacities: assume op=1 (k_exact = sqrt(2 ln 255) ~ 3.33)
         radii_cull = radii * (math.sqrt(2.0 * math.log(255.0)) / 3.0)
 
-    # Tier 1: 2x2 candidate grid for every gaussian.
+    # Live cells of the 2x2 candidate grid for every small gaussian.
     dx1 = jnp.arange(4, dtype=jnp.int32) % 2
     dy1 = jnp.arange(4, dtype=jnp.int32) // 2
     px1 = x0[:, None] + dx1[None, :]
     py1 = y0[:, None] + dy1[None, :]
-    ok1 = small[:, None] & (px1 <= x1[:, None]) & (py1 <= y1[:, None])
-    ok1 &= ~tile_miss(means2d[:, None, 0], means2d[:, None, 1],
-                      radii_cull[:, None], px1, py1)
-    tile1 = (py1 * tx + px1).astype(jnp.uint32)
-    keys1 = jnp.where(ok1, (tile1 << shift) | rank_u[:, None],
-                      sentinel | rank_u[:, None]).reshape(-1)
+    live1 = small[:, None] & (px1 <= x1[:, None]) & (py1 <= y1[:, None])
+    live1 &= ~tile_miss(means2d[:, None, 0], means2d[:, None, 1],
+                        radii_cull[:, None], px1, py1)
 
-    # Tier 2: full coverage grid for a capped set of large gaussians.
+    # Tier 0: one key per gaussian. Smalls emit their first live 2x2 cell
+    # (the cell holding the mean is always live, so every live small emits
+    # exactly one key). Bigs that don't make the tier-2 cap emit the tile
+    # containing their mean — graceful center-tile degradation instead of
+    # vanishing (tier-2-selected bigs must NOT also emit here: their grid
+    # already covers the center cell and a duplicate pair would composite
+    # the gaussian twice).
+    prim = jnp.argmax(live1, axis=-1).astype(jnp.int32)  # (N,)
+    tile0 = ((y0 + prim // 2) * tx + (x0 + prim % 2)).astype(jnp.uint32)
+    ok0 = jnp.take_along_axis(live1, prim[:, None], axis=-1)[:, 0]
     k_big = min(max(n // 64, 512), n)
+    big_unsel = big & (jnp.cumsum(big.astype(jnp.int32)) > k_big)
+    cxt = jnp.clip((means2d[:, 0] // tile_size).astype(jnp.int32), 0, tx - 1)
+    cyt = jnp.clip((means2d[:, 1] // tile_size).astype(jnp.int32), 0, ty - 1)
+    tile0 = jnp.where(big_unsel, (cyt * tx + cxt).astype(jnp.uint32), tile0)
+    keys0 = jnp.where(ok0 | big_unsel, (tile0 << shift) | rank_u,
+                      sentinel | rank_u)
+
+    # Tier 1: the remaining 2x2 cells, for a capped set of smalls that still
+    # span more than one live cell after the exact cull (most don't: trained
+    # splats are small vs 16px tiles and the circle cull kills corner cells).
+    # Selection priority = live-cell count, so 4-cell spanners keep full
+    # coverage before 2-cell ones when the cap binds.
+    n_live = jnp.sum(live1, axis=-1)
+    multi = small & (n_live > 1)
+    # N/2 covers the measured multi-cell fractions with headroom (bench
+    # 512K workload: 16% of valid; small trained splats at r~2px: ~45%
+    # bbox-straddle before the cull); mid_overflow flags a bind.
+    k_mid = min(max(n // 2, 8192), n)
+    _, mid_order = jax.lax.top_k(
+        jnp.where(multi, n_live, 0).astype(jnp.float32), k_mid)
+    mid_overflow = jnp.maximum(
+        jnp.sum(multi.astype(jnp.int32)) - k_mid, 0
+    )
+    is_mid = multi[mid_order]
+    # cells 0..3 minus the primary: j + (j >= prim)
+    j3 = jnp.arange(3, dtype=jnp.int32)[None, :]
+    cell = j3 + (j3 >= prim[mid_order][:, None]).astype(jnp.int32)  # (K_mid,3)
+    pxm = x0[mid_order][:, None] + cell % 2
+    pym = y0[mid_order][:, None] + cell // 2
+    okm = is_mid[:, None] & jnp.take_along_axis(live1[mid_order], cell, axis=-1)
+    rank_mid = rank_u[mid_order]
+    tilem = (pym * tx + pxm).astype(jnp.uint32)
+    keys1 = jnp.where(okm, (tilem << shift) | rank_mid[:, None],
+                      sentinel | rank_mid[:, None]).reshape(-1)
+
+    # Tier 2: full coverage grid for a capped set of large gaussians
+    # (k_big defined with tier 0 above; top_k's lowest-index tie-break
+    # matches the cumsum test that routes unselected bigs to tier 0).
     # big-first original ids via top_k (partial selection beats the former
     # full argsort of N bools; order within the big set is irrelevant — the
     # slots_big/feat[big_order] mapping is internally consistent either way)
@@ -179,20 +244,25 @@ def tile_gaussians(
     keys2 = jnp.where(ok2, (tile2 << shift) | rank_big[:, None],
                       sentinel | rank_big[:, None]).reshape(-1)
 
-    keys = jnp.concatenate([keys1, keys2])
+    keys = jnp.concatenate([keys0, keys1, keys2])
     np_total = keys.shape[0]
     pair_ids = jnp.arange(np_total, dtype=jnp.int32)
     sorted_keys, sorted_pid = jax.lax.sort_key_val(keys, pair_ids)
     sorted_tile = (sorted_keys >> shift).astype(jnp.int32)
     # The kernel-side gaussian id is pure arithmetic on the sorted pair id —
-    # tier-1 pairs map to pid>>2, tier-2 pairs to an EXTENDED id n + slot
-    # (the pack gather appends feat[big_order] rows after the originals), so
-    # no gid payload rides the sort and no big_order table gather happens.
-    n4 = n * 4
+    # tier-0 pairs map to pid itself, tier-1/2 pairs to EXTENDED ids past n
+    # (the pack gather appends feat[big_order] then feat[mid_order] rows
+    # after the originals), so no gid payload rides the sort and no
+    # order-table gather happens.
+    n1 = n + 3 * k_mid
     sorted_gid = jnp.where(
-        sorted_pid < n4,
-        sorted_pid >> 2,
-        n + ((sorted_pid - n4) // m2),
+        sorted_pid < n,
+        sorted_pid,
+        jnp.where(
+            sorted_pid < n1,
+            n + k_big + (sorted_pid - n) // 3,
+            n + (sorted_pid - n1) // m2,
+        ),
     ).astype(jnp.int32)
 
     starts = jnp.searchsorted(sorted_tile, jnp.arange(t_total + 1, dtype=jnp.int32))
@@ -230,9 +300,11 @@ def tile_gaussians(
         t_total * max_per_tile,
     )
     _, slot = jax.lax.sort_key_val(sorted_pid, slot_sorted)
-    slots_small = slot[: n * 4].reshape(n, 4)
-    slots_big = slot[n * 4 :].reshape(-1, m2)
-    return gidx, gvalid, slots_small, slots_big, big_order
+    slots_prim = slot[:n].reshape(n, 1)
+    slots_mid = slot[n:n1].reshape(k_mid, 3)
+    slots_big = slot[n1:].reshape(-1, m2)
+    return Binning(gidx, gvalid, slots_prim, slots_mid, slots_big,
+                   mid_order, big_order, mid_overflow)
 
 
 def _use_pallas() -> bool:
@@ -251,13 +323,15 @@ def pack_quantization(means2d, conics, colors, opacities, depths):
     return m2d, deq(conics), deq(colors), deq(opacities), deq(depths)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def _pack_gather(feat, gidx_ext, slots_small, slots_big, big_order, tk: int):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def _pack_gather(feat, gidx_ext, slots_prim, slots_mid, slots_big,
+                 mid_order, big_order, tk: int):
     """Gather feature rows into channel-major (16, T, K) tile blocks.
 
-    The source table is [feat; feat[big_order]; zero sentinel] — tier-2 pair
-    ids address the appended copies so the binning sort needs no gaussian-id
-    payload. Channel-major keeps K on the 128-lane axis — a trailing dim of 16
+    The source table is [feat; feat[big_order]; feat[mid_order]; zero
+    sentinel] — tier-1/2 pair ids address the appended copies so the binning
+    sort needs no gaussian-id payload.
+    Channel-major keeps K on the 128-lane axis — a trailing dim of 16
     wastes 7/8 of HBM bandwidth on every DMA. The custom VJP turns the gradient
     scatter-add (slow on TPU) into gathers via the precomputed inverse slot
     maps.
@@ -279,7 +353,7 @@ def _pack_gather(feat, gidx_ext, slots_small, slots_big, big_order, tk: int):
         [f16[:, 0:2], lo, f16[:, 2:10], jnp.zeros_like(f16[:, :4])], axis=1
     )
     enc_ext = jnp.concatenate(
-        [enc, enc[big_order], jnp.zeros_like(enc[:1])], axis=0
+        [enc, enc[big_order], enc[mid_order], jnp.zeros_like(enc[:1])], axis=0
     )
     t, k = gidx_ext.shape
     g = enc_ext[gidx_ext.reshape(-1)].T.reshape(feat.shape[1], t, k)
@@ -291,13 +365,15 @@ def _pack_gather(feat, gidx_ext, slots_small, slots_big, big_order, tk: int):
     )
 
 
-def _pack_gather_fwd(feat, gidx_ext, slots_small, slots_big, big_order, tk):
-    out = _pack_gather(feat, gidx_ext, slots_small, slots_big, big_order, tk)
-    return out, (slots_small, slots_big, big_order, feat.shape[0])
+def _pack_gather_fwd(feat, gidx_ext, slots_prim, slots_mid, slots_big,
+                     mid_order, big_order, tk):
+    out = _pack_gather(feat, gidx_ext, slots_prim, slots_mid, slots_big,
+                       mid_order, big_order, tk)
+    return out, (slots_prim, slots_mid, slots_big, mid_order, big_order)
 
 
 def _pack_gather_bwd(tk, res, d_packed):
-    slots_small, slots_big, big_order, n = res
+    slots_prim, slots_mid, slots_big, mid_order, big_order = res
     c = d_packed.shape[0]
     tk8 = tk // 8
     # A (TK, C) row table pads C=16 lanes to 128 in HBM (8x the bytes, ~54ms
@@ -332,9 +408,10 @@ def _pack_gather_bwd(tk, res, d_packed):
             preferred_element_type=jnp.float32,
         )
 
-    d_feat = route(slots_small)
+    d_feat = route(slots_prim)
     d_feat = d_feat.at[big_order].add(route(slots_big))
-    return d_feat, None, None, None, None
+    d_feat = d_feat.at[mid_order].add(route(slots_mid))
+    return d_feat, None, None, None, None, None, None
 
 
 _pack_gather.defvjp(_pack_gather_fwd, _pack_gather_bwd)
@@ -372,7 +449,7 @@ def rasterize(
     ty = _ceil_div(height, tile_size)
     t_total = tx * ty
 
-    gidx, gvalid, slots_small, slots_big, big_order = tile_gaussians(
+    b = tile_gaussians(
         means2d, depths, radii, width, height, tile_size, max_per_tile,
         opacities=opacities,
     )
@@ -384,8 +461,12 @@ def rasterize(
          jnp.zeros((means2d.shape[0], pr.C_PACK - 10), means2d.dtype)],
         axis=-1,
     )  # (N, 16)
-    gidx_ext = jnp.where(gvalid, gidx, feat.shape[0] + big_order.shape[0])
-    packed = _pack_gather(feat, gidx_ext, slots_small, slots_big, big_order,
+    sentinel_row = (
+        feat.shape[0] + b.big_order.shape[0] + b.mid_order.shape[0]
+    )
+    gidx_ext = jnp.where(b.gvalid, b.gidx, sentinel_row)
+    packed = _pack_gather(feat, gidx_ext, b.slots_prim, b.slots_mid,
+                          b.slots_big, b.mid_order, b.big_order,
                           t_total * max_per_tile)
 
     use_pallas = backend == "pallas" or (backend == "auto" and _use_pallas())

@@ -142,7 +142,8 @@ def sampson_error(E: jnp.ndarray, x1n: jnp.ndarray, x2n: jnp.ndarray) -> jnp.nda
     return num / jnp.maximum(den, 1e-12)
 
 
-@functools.partial(jax.jit, static_argnames=("num_hypotheses",))
+@functools.partial(
+    jax.jit, static_argnames=("num_hypotheses", "n_fib", "pre_steps"))
 def essential_ransac(
     x1n: jnp.ndarray,
     x2n: jnp.ndarray,
@@ -150,6 +151,8 @@ def essential_ransac(
     key: jax.Array,
     threshold: float,
     num_hypotheses: int = 512,
+    n_fib: int = 128,
+    pre_steps: int = 3,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Progressive batched-RANSAC essential matrix.
 
@@ -213,18 +216,11 @@ def essential_ransac(
     # Fibonacci sphere, manifold-project, GN-polish EVERY candidate to its
     # basin bottom, then select by MSAC. Healthy spectra make all starts
     # collapse into the single basin — a no-op beyond the old single polish.
-    wcons = inl_best.astype(x1n.dtype)
-    u1, v1 = x1n[:, 0], x1n[:, 1]
-    u2, v2 = x2n[:, 0], x2n[:, 1]
-    A = jnp.stack(
-        [u2 * u1, u2 * v1, u2, v2 * u1, v2 * v1, v2, u1, v1, jnp.ones_like(u1)],
-        axis=-1,
-    ) * wcons[:, None]
-    _, _, vtA = jnp.linalg.svd(A, full_matrices=False)
-    basis = vtA[-3:]  # (3, 9)
-    dirs = _fib_sphere_dirs(512)
-    cands = (dirs @ basis).reshape(-1, 3, 3)
-
+    # Budget: the full 10-step polish of every candidate is ~30x the cost of
+    # the RANSAC stages, so the multistart runs two-phase — `pre_steps` GN
+    # iterations on all `n_fib` candidates (enough to fall to the right
+    # neighborhood for ranking), then the full polish on the winner only
+    # (measured in scripts/exp_msac_polish.py: sub-degree decode holds).
     ones = jnp.ones_like(x1n[:, :1])
     p1 = jnp.concatenate([x1n, ones], axis=-1)
     p2 = jnp.concatenate([x2n, ones], axis=-1)
@@ -236,7 +232,7 @@ def essential_ransac(
         den = Ep1[:, 0] ** 2 + Ep1[:, 1] ** 2 + Etp2[:, 0] ** 2 + Etp2[:, 1] ** 2
         return num / jnp.sqrt(jnp.maximum(den, 1e-12))
 
-    def polish(E_init):
+    def polish(E_init, n_steps):
         # Trimmed Gauss-Newton on the essential manifold (5 DOF: rotation +
         # translation direction), minimizing the signed Sampson residual over
         # hard-trimmed inliers. Both twisted-pair rotations give the same E,
@@ -263,18 +259,36 @@ def essential_ransac(
             H = JW.T @ J + 1e-4 * jnp.eye(6)
             return params - jnp.linalg.solve(H, JW.T @ r), None
 
-        params, _ = jax.lax.scan(gn_step, jnp.zeros(6), None, length=10)
+        params, _ = jax.lax.scan(gn_step, jnp.zeros(6), None, length=n_steps)
         return E_of(params)
 
-    # stage-3 winner joins the candidate pool (guards the healthy case)
-    cands = jnp.concatenate([E_best[None], cands], axis=0)
-    polished = jax.vmap(polish)(cands)
-    costs = jax.vmap(lambda E: msac_cost(sampson_error(E, x1n, x2n)))(polished)
-    # unpolished stage-3 winner competes too (polish must never lose ground)
+    if n_fib > 0:
+        wcons = inl_best.astype(x1n.dtype)
+        u1, v1 = x1n[:, 0], x1n[:, 1]
+        u2, v2 = x2n[:, 0], x2n[:, 1]
+        A = jnp.stack(
+            [u2 * u1, u2 * v1, u2, v2 * u1, v2 * v1, v2, u1, v1,
+             jnp.ones_like(u1)],
+            axis=-1,
+        ) * wcons[:, None]
+        _, _, vtA = jnp.linalg.svd(A, full_matrices=False)
+        basis = vtA[-3:]  # (3, 9)
+        dirs = _fib_sphere_dirs(n_fib)
+        cands = (dirs @ basis).reshape(-1, 3, 3)
+        # stage-3 winner joins the candidate pool (guards the healthy case)
+        cands = jnp.concatenate([E_best[None], cands], axis=0)
+        pre = jax.vmap(lambda E: polish(E, pre_steps))(cands)
+        pre_costs = jax.vmap(
+            lambda E: msac_cost(sampson_error(E, x1n, x2n)))(pre)
+        E_win = pre[jnp.argmin(pre_costs)]
+    else:
+        E_win = E_best
+    E_ref = polish(E_win, 10)
+    # the unpolished stage-3 winner competes too (refinement must never
+    # lose ground by MSAC)
+    cost_ref = msac_cost(sampson_error(E_ref, x1n, x2n))
     best_cost = msac_cost(sampson_error(E_best, x1n, x2n))
-    k = jnp.argmin(costs)
-    use_best = best_cost <= costs[k]
-    E_out = jnp.where(use_best, E_best, polished[k])
+    E_out = jnp.where(best_cost <= cost_ref, E_best, E_ref)
     inl_out = (sampson_error(E_out, x1n, x2n) < t2) & valid
     return E_out, inl_out
 
