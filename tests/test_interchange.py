@@ -68,6 +68,47 @@ class TestColmapIO:
         write_colmap_model(scene, str(tmp_path))
         assert count_points3d(str(tmp_path)) == 33
 
+    def test_binary_model_roundtrip(self, rng, tmp_path):
+        """Binary write -> auto-detected binary read must agree with the text
+        model of the same scene (the real COLMAP writes .bin by default)."""
+        from tpu_splat.sfm.colmap_io import write_colmap_model_binary
+
+        scene = make_scene(rng, n_pts=9)
+        tdir, bdir = tmp_path / "text", tmp_path / "bin"
+        write_colmap_model(scene, str(tdir))
+        write_colmap_model_binary(scene, str(bdir))
+        assert not (bdir / "cameras.txt").exists()
+        ct, it_, pt, colt = read_colmap_model(str(tdir))
+        cb, ib, pb, colb = read_colmap_model(str(bdir))
+        assert cb[1]["model"] == ct[1]["model"] == "PINHOLE"
+        np.testing.assert_allclose(cb[1]["params"], ct[1]["params"])
+        assert cb[1]["width"] == ct[1]["width"]
+        assert sorted(ib) == sorted(it_)
+        for name in ib:
+            np.testing.assert_allclose(ib[name]["qvec"], it_[name]["qvec"],
+                                       atol=1e-12)
+            np.testing.assert_allclose(ib[name]["tvec"], it_[name]["tvec"],
+                                       atol=1e-12)
+            assert ib[name]["camera_id"] == it_[name]["camera_id"]
+        np.testing.assert_allclose(pb, pt, atol=1e-12)
+        np.testing.assert_allclose(colb, colt)
+        assert count_points3d(str(bdir)) == 9
+
+    def test_binary_simple_pinhole_and_empty_points(self, rng, tmp_path):
+        from tpu_splat.sfm.colmap_io import write_colmap_model_binary
+
+        scene = make_scene(rng, n_pts=1)
+        write_colmap_model_binary(scene, str(tmp_path),
+                                  camera_model="SIMPLE_PINHOLE")
+        cams, _, _, _ = read_colmap_model(str(tmp_path))
+        assert cams[1]["model"] == "SIMPLE_PINHOLE"
+        assert len(cams[1]["params"]) == 3
+        import os as _os
+        _os.remove(tmp_path / "points3D.bin")
+        _, _, pts, _ = read_colmap_model(str(tmp_path))
+        assert pts.shape[0] == 0
+        assert count_points3d(str(tmp_path)) == 0
+
     def test_update_camera_model(self, tmp_path):
         p = tmp_path / "cameras.txt"
         p.write_text("# comment\n1 SIMPLE_RADIAL 640 480 500 320 240 0.05\n")

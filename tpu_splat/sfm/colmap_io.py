@@ -1,21 +1,42 @@
 """COLMAP and Nerfstudio interchange formats.
 
-Write/read COLMAP text models (cameras.txt / images.txt / points3D.txt) and emit
+Write/read COLMAP text AND binary models (cameras / images / points3D) and emit
 Nerfstudio transforms.json — the Colmap-to-Nerfstudio conversion step of the
 reference (colmap_to_nerfstudio_cam.py:32-73) plus the model-file handling of
 process_pose_transforms.py (write_images_file :429, cameras SIMPLE_PINHOLE).
 Also the SIMPLE_RADIAL -> SIMPLE_PINHOLE rewrite of update_camera_model.py.
+Binary support matters for interchange: the real COLMAP writes .bin models by
+default (the reference reads points3D.bin directly, main.py:407-417), so a
+user bringing an existing COLMAP workspace must not need a text conversion.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import struct
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
 from tpu_splat.core.types import SfMScene
+
+# COLMAP camera model ids <-> (name, param count) — src/colmap/sensor/models.h
+_CAMERA_MODELS = {
+    0: ("SIMPLE_PINHOLE", 3),
+    1: ("PINHOLE", 4),
+    2: ("SIMPLE_RADIAL", 4),
+    3: ("RADIAL", 5),
+    4: ("OPENCV", 8),
+    5: ("OPENCV_FISHEYE", 8),
+    6: ("FULL_OPENCV", 12),
+    7: ("FOV", 5),
+    8: ("SIMPLE_RADIAL_FISHEYE", 4),
+    9: ("RADIAL_FISHEYE", 5),
+    10: ("THIN_PRISM_FISHEYE", 12),
+}
+_CAMERA_MODEL_IDS = {name: (mid, np_) for mid, (name, np_) in
+                     _CAMERA_MODELS.items()}
 
 
 def _rotmat_to_qvec(R: np.ndarray) -> np.ndarray:
@@ -98,11 +119,75 @@ def write_colmap_model(
             )
 
 
+def _read_cameras_bin(path: str) -> Dict:
+    cameras = {}
+    with open(path, "rb") as f:
+        (n,) = struct.unpack("<Q", f.read(8))
+        for _ in range(n):
+            cam_id, model_id, w, h = struct.unpack("<iiQQ", f.read(24))
+            name, n_params = _CAMERA_MODELS.get(model_id, ("UNKNOWN", 0))
+            params = struct.unpack(f"<{n_params}d", f.read(8 * n_params))
+            cameras[cam_id] = {
+                "model": name,
+                "width": int(w),
+                "height": int(h),
+                "params": list(params),
+            }
+    return cameras
+
+
+def _read_images_bin(path: str) -> Dict:
+    images = {}
+    with open(path, "rb") as f:
+        (n,) = struct.unpack("<Q", f.read(8))
+        for _ in range(n):
+            data = struct.unpack("<idddddddi", f.read(64))
+            image_id, qw, qx, qy, qz, tx, ty, tz, cam_id = data
+            name = b""
+            while True:
+                c = f.read(1)
+                if c == b"\x00":
+                    break
+                name += c
+            (n_pts2d,) = struct.unpack("<Q", f.read(8))
+            f.seek(24 * n_pts2d, os.SEEK_CUR)  # (x, y double, point3D_id i64)
+            images[name.decode("utf-8")] = {
+                "qvec": np.array([qw, qx, qy, qz]),
+                "tvec": np.array([tx, ty, tz]),
+                "camera_id": int(cam_id),
+            }
+    return images
+
+
+def _read_points3d_bin(path: str) -> Tuple[np.ndarray, np.ndarray]:
+    pts, cols = [], []
+    with open(path, "rb") as f:
+        (n,) = struct.unpack("<Q", f.read(8))
+        for _ in range(n):
+            data = struct.unpack("<QdddBBBd", f.read(43))
+            pts.append(data[1:4])
+            cols.append(data[4:7])
+            (track_len,) = struct.unpack("<Q", f.read(8))
+            f.seek(8 * track_len, os.SEEK_CUR)  # (image_id, point2D_idx) i32s
+    return np.array(pts), np.array(cols)
+
+
 def read_colmap_model(model_dir: str) -> Tuple[Dict, Dict, np.ndarray, np.ndarray]:
-    """Read a COLMAP text model. Returns (cameras, images, points, colors).
+    """Read a COLMAP model, text or binary (auto-detected; text preferred when
+    both exist). Returns (cameras, images, points, colors).
 
     cameras: id -> dict(model, width, height, params);
     images: name -> dict(qvec, tvec, camera_id)."""
+    if not os.path.exists(os.path.join(model_dir, "cameras.txt")) and \
+            os.path.exists(os.path.join(model_dir, "cameras.bin")):
+        cameras = _read_cameras_bin(os.path.join(model_dir, "cameras.bin"))
+        images = _read_images_bin(os.path.join(model_dir, "images.bin"))
+        p3d = os.path.join(model_dir, "points3D.bin")
+        if os.path.exists(p3d):
+            pts, cols = _read_points3d_bin(p3d)
+        else:
+            pts, cols = np.zeros((0, 3)), np.zeros((0, 3))
+        return cameras, images, pts, cols
     cameras = {}
     with open(os.path.join(model_dir, "cameras.txt")) as f:
         for line in f:
@@ -145,13 +230,67 @@ def read_colmap_model(model_dir: str) -> Tuple[Dict, Dict, np.ndarray, np.ndarra
     return cameras, images, np.array(pts), np.array(cols)
 
 
+def write_colmap_model_binary(
+    scene: SfMScene,
+    out_dir: str,
+    image_names: Optional[List[str]] = None,
+    camera_model: str = "PINHOLE",
+) -> None:
+    """Write sparse/0-style cameras.bin / images.bin / points3D.bin (the real
+    COLMAP's default on-disk format, so downstream tools that only speak
+    binary can consume our reconstructions directly)."""
+    os.makedirs(out_dir, exist_ok=True)
+    cams = scene.cameras
+    n = len(cams)
+    names = image_names or [f"frame_{i:05d}.png" for i in range(n)]
+    fx, fy = float(cams.fx[0]), float(cams.fy[0])
+    cx, cy = float(cams.cx[0]), float(cams.cy[0])
+
+    with open(os.path.join(out_dir, "cameras.bin"), "wb") as f:
+        f.write(struct.pack("<Q", 1))
+        if camera_model == "SIMPLE_PINHOLE":
+            f.write(struct.pack("<iiQQ", 1, 0, cams.width, cams.height))
+            f.write(struct.pack("<3d", fx, cx, cy))
+        else:
+            f.write(struct.pack("<iiQQ", 1, 1, cams.width, cams.height))
+            f.write(struct.pack("<4d", fx, fy, cx, cy))
+
+    w2c = np.asarray(cams.worldtocams)
+    with open(os.path.join(out_dir, "images.bin"), "wb") as f:
+        f.write(struct.pack("<Q", n))
+        for i in range(n):
+            q = _rotmat_to_qvec(w2c[i, :3, :3])
+            t = w2c[i, :3, 3]
+            f.write(struct.pack("<idddddddi", i + 1, q[0], q[1], q[2], q[3],
+                                t[0], t[1], t[2], 1))
+            f.write(names[i].encode("utf-8") + b"\x00")
+            f.write(struct.pack("<Q", 0))  # no per-image 2D points recorded
+
+    pts = np.asarray(scene.points)
+    cols = np.clip(np.asarray(scene.point_colors) * 255, 0, 255).astype(int)
+    errs = np.asarray(scene.point_errors)
+    with open(os.path.join(out_dir, "points3D.bin"), "wb") as f:
+        f.write(struct.pack("<Q", pts.shape[0]))
+        for i in range(pts.shape[0]):
+            f.write(struct.pack("<QdddBBBd", i + 1, pts[i, 0], pts[i, 1],
+                                pts[i, 2], cols[i, 0], cols[i, 1], cols[i, 2],
+                                float(errs[i])))
+            f.write(struct.pack("<Q", 0))  # empty track
+
+
 def count_points3d(model_dir: str) -> int:
-    """Sparse-point count for the quality gate (main.py read_colmap_points3d_count)."""
+    """Sparse-point count for the quality gate (main.py read_colmap_points3d_count
+    reads the points3D.bin header the same way)."""
     path = os.path.join(model_dir, "points3D.txt")
-    if not os.path.exists(path):
-        return 0
-    with open(path) as f:
-        return sum(1 for l in f if l.strip() and not l.startswith("#"))
+    if os.path.exists(path):
+        with open(path) as f:
+            return sum(1 for l in f if l.strip() and not l.startswith("#"))
+    binp = os.path.join(model_dir, "points3D.bin")
+    if os.path.exists(binp):
+        with open(binp, "rb") as f:
+            header = f.read(8)
+        return int(struct.unpack("<Q", header)[0]) if len(header) == 8 else 0
+    return 0
 
 
 def update_camera_model_to_pinhole(cameras_txt: str) -> None:
