@@ -177,10 +177,17 @@ def essential_ransac(
     cost separated true/wrong by ~2x at 1px)."""
     m = x1n.shape[0]
     t2 = threshold**2
+    # Basin RANKING runs at a 4x tighter truncation than the consensus gate:
+    # the wrong quasi-degenerate basin keeps most residuals just under the
+    # full threshold (that is what makes count selection fail), so a cost
+    # truncated there barely separates the basins — the measured ~2x
+    # separation only appears near 1px. The RANSAC stages keep the full
+    # threshold (minimal fits are noisy; a tight cap there starves stage 1).
+    t2_sel = (threshold / 4.0) ** 2
 
-    def msac_cost(errs):
+    def msac_cost(errs, cap=t2):
         # invalid rows contribute the cap, so they never influence selection
-        return jnp.sum(jnp.where(valid, jnp.minimum(errs, t2), t2), axis=-1)
+        return jnp.sum(jnp.where(valid, jnp.minimum(errs, cap), cap), axis=-1)
 
     def stage(k, probs, n_sample, n_hyp):
         idx = jax.random.choice(k, m, shape=(n_hyp, n_sample), p=probs)
@@ -279,15 +286,15 @@ def essential_ransac(
         cands = jnp.concatenate([E_best[None], cands], axis=0)
         pre = jax.vmap(lambda E: polish(E, pre_steps))(cands)
         pre_costs = jax.vmap(
-            lambda E: msac_cost(sampson_error(E, x1n, x2n)))(pre)
+            lambda E: msac_cost(sampson_error(E, x1n, x2n), t2_sel))(pre)
         E_win = pre[jnp.argmin(pre_costs)]
     else:
         E_win = E_best
     E_ref = polish(E_win, 10)
     # the unpolished stage-3 winner competes too (refinement must never
-    # lose ground by MSAC)
-    cost_ref = msac_cost(sampson_error(E_ref, x1n, x2n))
-    best_cost = msac_cost(sampson_error(E_best, x1n, x2n))
+    # lose ground by tight-truncation MSAC)
+    cost_ref = msac_cost(sampson_error(E_ref, x1n, x2n), t2_sel)
+    best_cost = msac_cost(sampson_error(E_best, x1n, x2n), t2_sel)
     E_out = jnp.where(best_cost <= cost_ref, E_best, E_ref)
     inl_out = (sampson_error(E_out, x1n, x2n) < t2) & valid
     return E_out, inl_out
