@@ -60,7 +60,7 @@ class TestBundleAdjust:
         rms0 = float(
             jnp.sqrt(jnp.mean(reprojection_errors(problem) ** 2))
         )
-        R, t, Xout, rms, _ = bundle_adjust(problem, outer_iters=15, cg_iters=40)
+        R, t, Xout, rms, _, _ = bundle_adjust(problem, outer_iters=15, cg_iters=40)
         rms = float(rms)
         assert rms < rms0 / 5, f"rms {rms0:.4f} -> {rms:.4f}"
         assert rms < 0.003  # close to the 0.001 noise floor
@@ -73,7 +73,7 @@ class TestBundleAdjust:
 
     def test_robust_to_outliers(self, rng):
         problem, Rs, ts, X = build_problem(rng, outlier_frac=0.1)
-        R, t, Xout, rms, _ = bundle_adjust(problem, outer_iters=10, cg_iters=30)
+        R, t, Xout, rms, _, _ = bundle_adjust(problem, outer_iters=10, cg_iters=30)
         # median reprojection error should still reach the noise floor
         prob2 = problem._replace(cam_rotmats=R, cam_trans=t, points=Xout)
         errs = np.asarray(reprojection_errors(prob2))
@@ -112,11 +112,61 @@ class TestBundleAdjust:
             obs_uv=jnp.asarray(uv.reshape(-1, 2) * s_true, jnp.float32),
             obs_valid=jnp.ones(n_cams * n_pts, bool),
         )
-        R, t, Xout, rms, fscale = bundle_adjust(
+        R, t, Xout, rms, fscale, _ = bundle_adjust(
             problem, outer_iters=15, cg_iters=40, optimize_focal=True
         )
         assert abs(float(fscale) - s_true) < 0.03, float(fscale)
         assert float(rms) < 0.005
+
+    def test_recovers_radial_k1(self, rng):
+        """Radial self-calibration: observations carrying SIMPLE_RADIAL
+        distortion (x_d = x (1 + k1 r^2)) plus a focal error are explained by
+        the joint (df, dk1) parameters. Same orbit rig as the focal test —
+        k1 is constrained by the border observations where r^2 is large."""
+        n_cams, n_pts = 8, 300
+        X = rng.uniform(-1, 1, (n_pts, 3))
+        Rs, ts = [], []
+        for ang in np.linspace(0, 2 * np.pi, n_cams, endpoint=False):
+            eye = np.array([4.0 * np.cos(ang), 0.5, 4.0 * np.sin(ang)])
+            z = -eye / np.linalg.norm(eye)
+            up = np.array([0.0, -1.0, 0.0])
+            x = np.cross(up, z); x /= np.linalg.norm(x)
+            y = np.cross(z, x)
+            R = np.stack([x, y, z])
+            Rs.append(R)
+            ts.append(-R @ eye)
+        Rs, ts = np.stack(Rs), np.stack(ts)
+        obs_cam = np.repeat(np.arange(n_cams), n_pts)
+        obs_pt = np.tile(np.arange(n_pts), n_cams)
+        pc = np.einsum("cij,pj->cpi", Rs, X) + ts[:, None]
+        uv = pc[..., :2] / pc[..., 2:3]
+        k1_true, s_true = -0.12, 1.08
+        r2 = np.sum(uv**2, axis=-1, keepdims=True)
+        uv_d = uv * (1.0 + k1_true * r2) * s_true
+        uv_d = uv_d + rng.normal(0, 0.0005, uv_d.shape)
+        problem = BAProblem(
+            cam_rotmats=jnp.asarray(Rs, jnp.float32),
+            cam_trans=jnp.asarray(ts, jnp.float32),
+            points=jnp.asarray(X + rng.normal(0, 0.02, X.shape), jnp.float32),
+            obs_cam=jnp.asarray(obs_cam, jnp.int32),
+            obs_pt=jnp.asarray(obs_pt, jnp.int32),
+            obs_uv=jnp.asarray(uv_d.reshape(-1, 2), jnp.float32),
+            obs_valid=jnp.ones(n_cams * n_pts, bool),
+        )
+        R, t, Xout, rms, fscale, k1 = bundle_adjust(
+            problem, outer_iters=20, cg_iters=40,
+            optimize_focal=True, optimize_k1=True,
+        )
+        assert abs(float(k1) - k1_true) < 0.02, float(k1)
+        assert abs(float(fscale) - s_true) < 0.03, float(fscale)
+        assert float(rms) < 0.005
+
+    def test_k1_stays_zero_on_pinhole(self, rng):
+        """No distortion in the data -> the k1 estimate must not wander."""
+        problem, *_ = build_problem(rng, noise=0.0005)
+        *_, k1 = bundle_adjust(problem, outer_iters=10, cg_iters=30,
+                               optimize_k1=True)
+        assert abs(float(k1)) < 0.01, float(k1)
 
     def test_invalid_observations_ignored(self, rng):
         problem, *_ = build_problem(rng, n_cams=3, n_pts=50)
@@ -129,5 +179,5 @@ class TestBundleAdjust:
         problem = problem._replace(
             obs_uv=jnp.asarray(uv), obs_valid=jnp.asarray(~bad)
         )
-        R, t, Xout, rms, _ = bundle_adjust(problem, outer_iters=6, cg_iters=20)
+        R, t, Xout, rms, _, _ = bundle_adjust(problem, outer_iters=6, cg_iters=20)
         assert float(rms) < 0.01

@@ -308,3 +308,44 @@ def test_distributed_checkpoint_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(tr2.host_params()[k]), saved[k])
     tr2.run(2)
     assert tr2.step == 8
+
+
+def test_selfcal_distortion_undistorts_after_sfm():
+    """A scene whose cameras carry self-calibrated k1 triggers the post-SfM
+    undistortion of frames (+ masks) and zeroes the scene's distortion, so
+    training always runs pinhole."""
+    from tpu_splat.pipeline.component import PipelineContext
+    from tpu_splat.pipeline.runner import _undistort_selfcal
+
+    rng = np.random.default_rng(0)
+    imgs = rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32)
+    masks = (rng.uniform(0, 1, (2, 64, 64)) > 0.5).astype(np.float32)
+    n = 2
+    cams = Cameras(
+        camtoworlds=jnp.tile(jnp.eye(4), (n, 1, 1)),
+        fx=jnp.full((n,), 60.0), fy=jnp.full((n,), 60.0),
+        cx=jnp.full((n,), 32.0), cy=jnp.full((n,), 32.0),
+        distortion=jnp.tile(jnp.array([[-0.12, 0.0, 0.0, 0.0]]), (n, 1)),
+        width=64, height=64,
+    )
+    scene = SfMScene(
+        cameras=cams, points=jnp.zeros((4, 3)), point_colors=jnp.zeros((4, 3)),
+        point_errors=jnp.zeros(4), track_counts=jnp.ones(4),
+        registered=jnp.ones(n, bool),
+    )
+    ctx = PipelineContext(cfg=None, out_dir="")
+    ctx["scene"] = scene
+    ctx["images"] = imgs
+    ctx["masks"] = masks
+    _undistort_selfcal(ctx)
+    assert not np.allclose(ctx["images"], imgs), "frames were not undistorted"
+    assert not np.allclose(ctx["masks"], masks), "masks were not undistorted"
+    assert np.all(np.asarray(ctx["scene"].cameras.distortion) == 0)
+
+    # pinhole scene: everything untouched
+    ctx2 = PipelineContext(cfg=None, out_dir="")
+    ctx2["scene"] = scene.replace(
+        cameras=cams.replace(distortion=jnp.zeros((n, 4))))
+    ctx2["images"] = imgs
+    _undistort_selfcal(ctx2)
+    np.testing.assert_array_equal(ctx2["images"], imgs)

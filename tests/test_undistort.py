@@ -51,3 +51,29 @@ def test_batch_shape(rng):
     imgs = rng.uniform(0, 1, (3, 32, 32, 3)).astype(np.float32)
     out = undistort_batch(imgs, 30.0, 30.0, 16.0, 16.0, -0.1)
     assert out.shape == imgs.shape
+
+
+def test_mapper_norm_coords_inverts_k1(rng):
+    """mapper._norm_coords must undo SIMPLE_RADIAL distortion: distort ideal
+    normalized coords forward, convert to pixels, and expect the mapper (with
+    its k1 set) to hand back the ideal coords."""
+    from types import SimpleNamespace
+
+    from tpu_splat.sfm.mapper import IncrementalMapper, MapperConfig
+
+    fx, cx, cy = 500.0, 320.0, 240.0
+    m = IncrementalMapper(np.zeros((1, 480, 640), np.float32), MapperConfig(),
+                          fx=fx, fy=fx, cx=cx, cy=cy)
+    k1 = -0.15
+    ideal = rng.uniform(-0.5, 0.5, (64, 2)).astype(np.float32)
+    r2 = np.sum(ideal**2, axis=1, keepdims=True)
+    distorted = ideal * (1.0 + k1 * r2)
+    xy_pix = distorted * fx + np.array([cx, cy])
+    m.feats = [SimpleNamespace(xy=xy_pix.astype(np.float32))]
+
+    m.k1 = 0.0  # pinhole: plain normalization
+    np.testing.assert_allclose(
+        m._norm_coords(0, np.arange(64)), distorted, atol=1e-5)
+    m.k1 = k1  # calibrated: inversion recovers the ideal coords
+    np.testing.assert_allclose(
+        m._norm_coords(0, np.arange(64)), ideal, atol=2e-4)

@@ -495,6 +495,41 @@ def _sfm(ctx: PipelineContext):
     ctx["images"] = images[reg]
     if ctx.get("masks") is not None:
         ctx["masks"] = ctx["masks"][reg]
+    _undistort_selfcal(ctx)
+
+
+def _undistort_selfcal(ctx: PipelineContext):
+    """Undistort frames when SfM self-calibrated a radial model.
+
+    SfM poses/points live in UNDISTORTED observation space
+    (mapper._norm_coords), so before pinhole training the frames must be
+    undistorted with the estimated model — the post-SfM analog of the
+    prior-driven _undistort stage (reference image_undistorter,
+    main.py:1161-1180). No-op on pinhole scenes."""
+    scene = ctx.require("scene")
+    dist = np.asarray(scene.cameras.distortion)
+    if not dist.size or not np.any(np.abs(dist) > 1e-6):
+        return
+    import jax.numpy as jnp
+
+    from tpu_splat.sfm.undistort import undistort_batch
+
+    k1, k2, p1, p2 = (float(v) for v in dist[0])
+    cams = scene.cameras
+    pipe_logger(ctx)(f"undistorting {ctx['images'].shape[0]} frames with "
+                     f"self-calibrated k1={k1:+.4f}")
+    ctx["images"] = np.asarray(undistort_batch(
+        ctx["images"], float(cams.fx[0]), float(cams.fy[0]),
+        float(cams.cx[0]), float(cams.cy[0]),
+        k1=k1, k2=k2, p1=p1, p2=p2))
+    if ctx.get("masks") is not None:
+        # masks are (N, H, W); the remap kernel is channel-last
+        ctx["masks"] = np.asarray(undistort_batch(
+            ctx["masks"].astype(np.float32)[..., None], float(cams.fx[0]),
+            float(cams.fy[0]), float(cams.cx[0]), float(cams.cy[0]),
+            k1=k1, k2=k2, p1=p1, p2=p2))[..., 0]
+    ctx["scene"] = scene.replace(
+        cameras=cams.replace(distortion=jnp.zeros_like(cams.distortion)))
 
 
 def _quality_gate(ctx: PipelineContext):

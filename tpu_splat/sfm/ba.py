@@ -34,13 +34,19 @@ class BAProblem(NamedTuple):
     obs_valid: jnp.ndarray  # (O,) bool
 
 
-def _residuals(theta, problem: BAProblem, weights, fixed_cam_mask):
-    """Weighted reprojection residuals (O*2,). theta = dict(dw, dt, dX[, df]).
+def _residuals(theta, problem: BAProblem, weights, fixed_cam_mask,
+               k1_base=0.0):
+    """Weighted reprojection residuals (O*2,). theta = dict(dw, dt, dX[, df, dk1]).
 
     `df` (scalar, optional) is a shared log-focal correction: the model
     projection is scaled by exp(df), which is exactly a change of the shared
     focal length in normalized-coordinate space (self-calibration; COLMAP's
-    mapper refines intrinsics by default, reference main.py:1090-1113)."""
+    mapper refines intrinsics by default, reference main.py:1090-1113).
+    `dk1` (scalar, optional) is a shared SIMPLE_RADIAL radial-distortion
+    correction applied to the ideal projection BEFORE the focal scale
+    (x_d = x * (1 + k1 r^2), COLMAP's default camera model): the caller's
+    observations are assumed already undistorted with its current k1
+    estimate, so dk1 measures the residual distortion left in them."""
     dw = theta["dw"] * (1.0 - fixed_cam_mask[:, None])
     dt = theta["dt"] * (1.0 - fixed_cam_mask[:, None])
     R = exp_so3(dw) @ problem.cam_rotmats  # (C, 3, 3)
@@ -53,6 +59,10 @@ def _residuals(theta, problem: BAProblem, weights, fixed_cam_mask):
     pc = jnp.einsum("oij,oj->oi", Rc, Xp) + tc
     z = jnp.maximum(pc[:, 2], 1e-6)
     proj = pc[:, :2] / z[:, None]
+    if "dk1" in theta:
+        k1 = k1_base + theta["dk1"]
+        r2 = jnp.sum(proj**2, axis=-1, keepdims=True)
+        proj = proj * (1.0 + k1 * r2)
     if "df" in theta:
         proj = proj * jnp.exp(theta["df"])
     res = (proj - problem.obs_uv) * weights[:, None]
@@ -61,16 +71,18 @@ def _residuals(theta, problem: BAProblem, weights, fixed_cam_mask):
     return res.reshape(-1)
 
 
-def _huber_weights(problem, theta, fixed_cam_mask, delta):
+def _huber_weights(problem, theta, fixed_cam_mask, delta, k1_base=0.0):
     ones = jnp.ones_like(problem.obs_valid, dtype=jnp.float32)
-    r = _residuals(theta, problem, ones, fixed_cam_mask).reshape(-1, 2)
+    r = _residuals(theta, problem, ones, fixed_cam_mask,
+                   k1_base=k1_base).reshape(-1, 2)
     e = jnp.linalg.norm(r, axis=-1)
     w = jnp.sqrt(jnp.where(e <= delta, 1.0, delta / jnp.maximum(e, 1e-12)))
     return w * problem.obs_valid.astype(jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("outer_iters", "cg_iters",
-                                              "fix_first_cam", "optimize_focal"))
+                                              "fix_first_cam", "optimize_focal",
+                                              "optimize_k1"))
 def bundle_adjust(
     problem: BAProblem,
     huber_delta: float = 0.01,
@@ -79,12 +91,20 @@ def bundle_adjust(
     lm_lambda: float = 1e-5,
     fix_first_cam: bool = True,
     optimize_focal: bool = False,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Run BA; returns (cam_rotmats, cam_trans, points, rms_error, focal_scale).
+    optimize_k1: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray,
+           jnp.ndarray]:
+    """Run BA; returns (cam_rotmats, cam_trans, points, rms_error, focal_scale,
+    k1_delta).
 
     With optimize_focal, a shared log-focal correction is estimated jointly
     (single-camera captures); the caller should multiply its fx/fy by the
-    returned focal_scale. focal_scale is 1.0 otherwise."""
+    returned focal_scale. focal_scale is 1.0 otherwise.
+    With optimize_k1, a shared SIMPLE_RADIAL k1 correction is estimated
+    jointly; the caller should ADD the returned k1_delta to its current k1
+    estimate (the observations it fed were undistorted with that estimate, so
+    the delta is the residual distortion — exact in the limit of BA-round
+    iteration, first-order per call). k1_delta is 0.0 otherwise."""
     C = problem.cam_rotmats.shape[0]
     fixed = jnp.zeros((C,), jnp.float32)
     if fix_first_cam:
@@ -98,6 +118,8 @@ def bundle_adjust(
         }
         if optimize_focal:
             th["df"] = jnp.zeros(())
+        if optimize_k1:
+            th["dk1"] = jnp.zeros(())
         return th
 
     def apply_theta(prob, theta):
@@ -117,11 +139,11 @@ def bundle_adjust(
         )
 
     def outer(carry, _):
-        prob, log_s, key = carry
+        prob, log_s, k1, key = carry
         theta0 = zero_theta()
-        w = _huber_weights(prob, theta0, fixed, huber_delta)
+        w = _huber_weights(prob, theta0, fixed, huber_delta, k1_base=k1)
 
-        res_fn = lambda th: _residuals(th, prob, w, fixed)
+        res_fn = lambda th: _residuals(th, prob, w, fixed, k1_base=k1)
         r0 = res_fn(theta0)
         # gradient g = J^T r
         _, vjp = jax.vjp(res_fn, theta0)
@@ -162,6 +184,11 @@ def bundle_adjust(
             tangent["df"] = jnp.ones(())
             _, jv = jax.jvp(res_fn, (theta0,), (tangent,))
             diag["df"] = jnp.sum(jv**2)
+        if optimize_k1:
+            tangent = jax.tree.map(jnp.zeros_like, theta0)
+            tangent["dk1"] = jnp.ones(())
+            _, jv = jax.jvp(res_fn, (theta0,), (tangent,))
+            diag["dk1"] = jnp.sum(jv**2)
         diag = jax.tree.map(lambda d: jnp.maximum(d, 1e-10), diag)
 
         def hvp(v):
@@ -201,6 +228,11 @@ def bundle_adjust(
             # focal at most ~5% — unclamped, early poorly-conditioned rounds
             # oscillate the focal +-20% and destabilize the whole map
             x = dict(x, df=jnp.clip(x["df"], -0.05, 0.05))
+        if optimize_k1:
+            # same trust region logic for the radial term (k1 is strongly
+            # coupled to focal through the image-border observations; a big
+            # joint step trades one off against the other and overshoots)
+            x = dict(x, dk1=jnp.clip(x["dk1"], -0.02, 0.02))
         # Accept the step only if the weighted cost does not increase; try a
         # half step as a cheap fallback before rejecting.
         cost0 = jnp.sum(r0**2)
@@ -212,18 +244,21 @@ def bundle_adjust(
         scale = jnp.where(use_full, 1.0, jnp.where(use_half, 0.5, 0.0))
         x = jax.tree.map(lambda a: scale * a, x)
         new_log_s = log_s + (x["df"] if optimize_focal else 0.0)
-        return (apply_theta(prob, x), new_log_s, key), jnp.minimum(cost_full, cost0)
+        new_k1 = k1 + (x["dk1"] if optimize_k1 else 0.0)
+        return (apply_theta(prob, x), new_log_s, new_k1, key), jnp.minimum(
+            cost_full, cost0)
 
-    (prob, log_s, _), _ = jax.lax.scan(
-        outer, (problem, jnp.zeros(()), jax.random.PRNGKey(0)), None,
-        length=outer_iters,
+    (prob, log_s, k1, _), _ = jax.lax.scan(
+        outer, (problem, jnp.zeros(()), jnp.zeros(()), jax.random.PRNGKey(0)),
+        None, length=outer_iters,
     )
 
     ones = jnp.ones_like(problem.obs_valid, dtype=jnp.float32)
-    r = _residuals(zero_theta(), prob, ones * prob.obs_valid, fixed).reshape(-1, 2)
+    r = _residuals(zero_theta(), prob, ones * prob.obs_valid, fixed,
+                   k1_base=k1).reshape(-1, 2)
     nvalid = jnp.maximum(jnp.sum(prob.obs_valid), 1)
     rms = jnp.sqrt(jnp.sum(r**2) / nvalid)
-    return prob.cam_rotmats, prob.cam_trans, prob.points, rms, jnp.exp(log_s)
+    return prob.cam_rotmats, prob.cam_trans, prob.points, rms, jnp.exp(log_s), k1
 
 
 def reprojection_errors(problem: BAProblem) -> jnp.ndarray:

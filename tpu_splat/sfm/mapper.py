@@ -69,6 +69,10 @@ class MapperConfig:
     # reference main.py:1090-1113). None = auto: refine exactly when no fx/fy
     # was supplied; True/False force it on/off.
     refine_intrinsics: Optional[bool] = None
+    # Shared SIMPLE_RADIAL k1 estimation during self-calibration (COLMAP's
+    # default camera model refines f AND k1; reference main.py:1090-1113).
+    # Only active when intrinsics are being refined at all.
+    refine_distortion: bool = True
     seed: int = 0
 
 
@@ -121,6 +125,13 @@ class IncrementalMapper:
         self.cy = cy if cy is not None else self.h / 2
         self.calibrate = (cfg.refine_intrinsics if cfg.refine_intrinsics
                           is not None else fx is None)
+        # Radial self-calibration (COLMAP's default SIMPLE_RADIAL estimates
+        # k1 alongside f). Tracked separately from `calibrate` because the
+        # focal-multistart rebuild clears `calibrate` once the focal is
+        # decided, while the distortion decision happens later still — only
+        # at endgame, by model selection (_refine_distortion_endgame).
+        self.k1 = 0.0
+        self._calib_k1 = self.calibrate and cfg.refine_distortion
         self.log = log_fn or (lambda s: None)
         self.key = jax.random.PRNGKey(cfg.seed)
         self._attempts = np.zeros(self.n, np.int32)
@@ -289,10 +300,24 @@ class IncrementalMapper:
                      f"keeping prior fx={self.fx:.1f}")
 
     def _norm_coords(self, img_idx: int, feat_idx: np.ndarray) -> np.ndarray:
+        """Pixel keypoints -> UNDISTORTED normalized coords under the current
+        intrinsics estimate. The single normalization chokepoint: PnP,
+        triangulation, essential RANSAC, and BA all consume these, so the
+        whole mapper consistently works in pinhole space and the estimated k1
+        only ever lives here (and in the export)."""
         xy = self.feats[img_idx].xy[feat_idx]
-        return np.stack(
+        uv = np.stack(
             [(xy[:, 0] - self.cx) / self.fx, (xy[:, 1] - self.cy) / self.fy], axis=1
         ).astype(np.float32)
+        if self.k1 != 0.0:
+            # invert x_d = x (1 + k1 |x|^2): fixed-point from x = x_d —
+            # converges in 3 rounds for |k1| r^2 < 0.5 (any practical lens)
+            xu = uv
+            for _ in range(3):
+                r2 = np.sum(xu * xu, axis=1, keepdims=True)
+                xu = uv / (1.0 + self.k1 * r2)
+            uv = xu.astype(np.float32)
+        return uv
 
     # ---------- stage 3: tracks ----------
 
@@ -384,7 +409,7 @@ class IncrementalMapper:
             reg = int(np.asarray(scene.registered).sum())
             state = (reg, scene, self.R.copy(), self.t.copy(),
                      self.registered.copy(), self.points.copy(),
-                     self.has_point.copy(), self.fx, self.fy)
+                     self.has_point.copy(), self.fx, self.fy, self.k1)
             attempts.append(state)
             if best is None or reg > best[0]:
                 best = state
@@ -623,8 +648,56 @@ class IncrementalMapper:
         self._filter_observations()
         self._retriangulate()
         self._bundle_adjust(extended=True)
+        self._refine_distortion_endgame()
         self._filter_points()
         return self._to_scene()
+
+    def _refine_distortion_endgame(self):
+        """Decide the shared SIMPLE_RADIAL k1 by model selection on the
+        CONVERGED map (COLMAP upgrades camera models the same way: fit the
+        richer model, keep it only if it wins decisively).
+
+        k1 cannot be fit during map growth: on low-elevation captures
+        (constant-height orbits/walks) the (f, k1) pair is near-degenerate,
+        so a free k1 absorbs residual focal error and warps the geometry
+        while the reprojection rms improves — measured on a pinhole ring:
+        mid-growth k1 drifted to -0.05 and tripled camera-center RMSE. Fit
+        on the final map instead, then accept only if the distorted model
+        buys a decisive rms improvement over pinhole; otherwise restore the
+        pinhole state byte-for-byte."""
+        if not self._calib_k1 or self.registered.sum() < 4:
+            return
+        import copy
+
+        rms0 = self._bundle_adjust(extended=True)
+        if rms0 is None:
+            return
+        snap = (self.R.copy(), self.t.copy(), self.points.copy(),
+                self.has_point.copy(), copy.deepcopy(self.tracks),
+                [dict(d) for d in self.img_tracks], dict(self._dropped_obs))
+        # Iterate fit -> re-undistort -> readmit: each BA sees observations
+        # undistorted with the previous k1, so the returned delta shrinks
+        # geometrically; border observations dropped under the pinhole model
+        # re-enter via the readmission pass and sharpen the next fit.
+        rms1 = rms0
+        for _ in range(3):
+            r = self._bundle_adjust(extended=True, refine_k1=True)
+            if r is None:
+                break
+            self._filter_observations()
+            self._retriangulate()
+            rms1 = self._bundle_adjust(extended=True)
+        accept = (abs(self.k1) >= 0.01 and abs(self.k1) < 0.5
+                  and rms1 is not None and rms1 < 0.8 * rms0)
+        if accept:
+            self.log(f"distortion model selected: k1={self.k1:+.4f} "
+                     f"(rms {rms0:.2f} -> {rms1:.2f}px)")
+            return
+        self.log(f"distortion model rejected: k1={self.k1:+.4f} "
+                 f"(rms {rms0:.2f} -> {rms1:.2f}px); keeping pinhole")
+        (self.R, self.t, self.points, self.has_point, self.tracks,
+         self.img_tracks, self._dropped_obs) = snap
+        self.k1 = 0.0
 
     def _merge_submodels(self, best, attempts):
         """COLMAP-style sub-model merging. Different init pairs can each grow
@@ -635,18 +708,19 @@ class IncrementalMapper:
         over their COMMON track points, inject the donor's poses for the
         missing cameras (validated like rescues), then polish with the full
         endgame. Returns the merged scene, or None if no donor helps."""
-        reg_b, _, Rb, tb, regb, ptsb, hpb, fxb, fyb = best
+        reg_b, _, Rb, tb, regb, ptsb, hpb, fxb, fyb, k1b = best
         self.R, self.t = Rb.copy(), tb.copy()
         self.registered = regb.copy()
         self.points, self.has_point = ptsb.copy(), hpb.copy()
-        self.fx, self.fy = fxb, fyb
+        self.fx, self.fy, self.k1 = fxb, fyb, k1b
         injected = 0
         for st in attempts:
             if st is best:
                 continue
-            reg_d, _, Rd, td, regd, ptsd, hpd, fxd, fyd = st
-            if len(hpd) != len(hpb) or abs(fxd - fxb) > 0.01 * fxb:
-                continue  # incompatible track space / focal (focal rebuild)
+            reg_d, _, Rd, td, regd, ptsd, hpd, fxd, fyd, k1d = st
+            if (len(hpd) != len(hpb) or abs(fxd - fxb) > 0.01 * fxb
+                    or abs(k1d - k1b) > 0.02):
+                continue  # incompatible track space / intrinsics (rebuild)
             new_cams = np.nonzero(regd & ~self.registered)[0]
             common = np.nonzero(hpd & hpb)[0]
             if len(new_cams) == 0 or len(common) < 8:
@@ -1274,7 +1348,8 @@ class IncrementalMapper:
         return cam_ids, live, np.array(obs_cam), np.array(obs_pt), np.array(obs_uv)
 
     def _bundle_adjust(self, extended: bool = False,
-                       force_focal: bool = False) -> Optional[float]:
+                       force_focal: bool = False,
+                       refine_k1: bool = False) -> Optional[float]:
         """One BA round over the current map. Returns the posterior
         reprojection rms in pixels (None if the map is too small to adjust)."""
         if self.registered.sum() < 2 or self.has_point.sum() < 8:
@@ -1333,12 +1408,21 @@ class IncrementalMapper:
             force_focal
             or (self._focal_refined_once
                 and (extended or len(cam_ids) >= 8)))
-        R, t, X, rms, fscale = bundle_adjust(
+        # Radial k1 is never estimated here on the mapper's own initiative:
+        # only _refine_distortion_endgame passes refine_k1=True, on the
+        # CONVERGED map, and keeps the result only if it decisively beats the
+        # pinhole model. Mid-growth joint (f, k1) estimation is poisonous on
+        # low-elevation orbits — k1 absorbs residual focal error along the
+        # near-degenerate (f, k1) ridge and warps the map while the
+        # reprojection rms *improves* (measured: a pinhole ring drifted to
+        # k1=-0.05 and doubled its camera-center RMSE).
+        R, t, X, rms, fscale, dk1 = bundle_adjust(
             problem,
             huber_delta=cfg.pixel_threshold / self.fx,
             outer_iters=cfg.ba_outer_iters * (3 if extended else 1),
             cg_iters=cfg.ba_cg_iters * (2 if extended else 1),
             optimize_focal=refine_focal,
+            optimize_k1=refine_k1,
         )
         self.R[cam_ids] = np.asarray(R)[:c]
         self.t[cam_ids] = np.asarray(t)[:c]
@@ -1357,12 +1441,24 @@ class IncrementalMapper:
                 # attempts now that focal is corrected (see the run loop).
                 self._focal_refined_once = True
                 self._attempts[~self.registered] = 0
+        if refine_k1:
+            step = float(dk1)
+            if abs(step) > 1e-6:
+                # BA saw obs undistorted with the OLD k1, so the delta is the
+                # residual distortion — accumulate (exact under BA-round
+                # iteration; each later round re-undistorts with the update).
+                self.k1 += step
+            if abs(step) > 0.005:
+                # distortion moved materially: border-region drops made under
+                # the old model are stale, same readmission logic as focal
+                self._readmit_observations()
         rms_px = float(rms) * self.fx
         self.log(
             f"BA: {len(cam_ids)} cams, {len(live)} pts, {o} obs, "
             f"rms {rms_px:.2f}px"
             + (f", focal x{float(fscale):.4f} -> {self.fx:.1f}"
                if refine_focal else "")
+            + (f", k1 {self.k1:+.4f}" if refine_k1 else "")
         )
         return rms_px
 
@@ -1498,7 +1594,14 @@ class IncrementalMapper:
             fy=jnp.full((len(cam_ids),), self.fy, jnp.float32),
             cx=jnp.full((len(cam_ids),), self.cx, jnp.float32),
             cy=jnp.full((len(cam_ids),), self.cy, jnp.float32),
-            distortion=jnp.zeros((len(cam_ids), 4)),
+            # Self-calibrated shared radial term. The poses/points above live
+            # in UNDISTORTED observation space (see _norm_coords), so this
+            # records the distortion of the ORIGINAL images — consumers must
+            # undistort the images (sfm/undistort.py) before pinhole use;
+            # the runner does so right after SfM.
+            distortion=jnp.tile(
+                jnp.array([[self.k1, 0.0, 0.0, 0.0]], jnp.float32),
+                (len(cam_ids), 1)),
             width=self.w,
             height=self.h,
         )
