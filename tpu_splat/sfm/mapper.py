@@ -669,35 +669,113 @@ class IncrementalMapper:
             return
         import copy
 
-        rms0 = self._bundle_adjust(extended=True)
-        if rms0 is None:
-            return
-        snap = (self.R.copy(), self.t.copy(), self.points.copy(),
-                self.has_point.copy(), copy.deepcopy(self.tracks),
-                [dict(d) for d in self.img_tracks], dict(self._dropped_obs))
-        # Iterate fit -> re-undistort -> readmit: each BA sees observations
-        # undistorted with the previous k1, so the returned delta shrinks
-        # geometrically; border observations dropped under the pinhole model
-        # re-enter via the readmission pass and sharpen the next fit.
-        rms1 = rms0
-        for _ in range(3):
-            r = self._bundle_adjust(extended=True, refine_k1=True)
-            if r is None:
-                break
+        def snapshot():
+            return (self.fx, self.fy, self.k1, self.R.copy(), self.t.copy(),
+                    self.points.copy(), self.has_point.copy(),
+                    copy.deepcopy(self.tracks),
+                    [dict(d) for d in self.img_tracks],
+                    dict(self._feat_track), dict(self._dropped_obs),
+                    dict(self.pair_matches), dict(self.pair_inliers))
+
+        def restore(s):
+            (self.fx, self.fy, self.k1, R, t, pts, hp, tracks, img_tracks,
+             feat_track, dropped, pm, pi) = s
+            self.R, self.t = R.copy(), t.copy()
+            self.points, self.has_point = pts.copy(), hp.copy()
+            self.tracks = copy.deepcopy(tracks)
+            self.img_tracks = [dict(d) for d in img_tracks]
+            self._feat_track = dict(feat_track)
+            self._dropped_obs = dict(dropped)
+            self.pair_matches = dict(pm)
+            self.pair_inliers = dict(pi)
+
+        pinhole = snapshot()
+        # Basin trials: a single in-place fit from k1=0 cannot move — the
+        # border matches carrying the evidence failed pinhole RANSAC and
+        # never entered the track graph, and the surviving mid-radius signal
+        # is already absorbed into the converged (warped) geometry, so dk1's
+        # gradient there is ~0 (measured: dk1 stayed +0.0000 on a capture
+        # with true k1=-0.10). Each trial therefore REBUILDS the evidence
+        # under its hypothesis: loose-readmit quarantined obs, re-gate the
+        # short-span pairs' raw descriptor matches with guided matching
+        # under the trial k1, retriangulate, then fit k1 by BA. The 0.0
+        # trial is the CONTROL: it gets the identical readmit/re-gate/BA
+        # treatment with k1 pinned, so the comparison isolates what the
+        # distortion model explains — without it, every hypothesis beats
+        # the raw baseline just by admitting extra (k1-insensitive,
+        # mid-radius) matches the endgame never offered the pinhole model
+        # (measured: a +0.05 fit "won" on a true k1=-0.10 capture).
+        bases = (0.0, -0.2, -0.08, 0.12)
+        trials = []
+        for k1_base in bases:
+            restore(pinhole)
+            self.k1 = k1_base
+            self._readmit_observations(slack=3.0)
+            self._augment_wide_pairs(max_span=2, revisit=True)
+            self._retriangulate()
+            fit = k1_base != 0.0
+            if self._bundle_adjust(extended=True, refine_k1=fit) is None:
+                continue
             self._filter_observations()
             self._retriangulate()
-            rms1 = self._bundle_adjust(extended=True)
-        accept = (abs(self.k1) >= 0.01 and abs(self.k1) < 0.5
-                  and rms1 is not None and rms1 < 0.8 * rms0)
-        if accept:
-            self.log(f"distortion model selected: k1={self.k1:+.4f} "
-                     f"(rms {rms0:.2f} -> {rms1:.2f}px)")
+            self._bundle_adjust(extended=True, refine_k1=fit)
+            h, rms = self._obs_consensus()
+            trials.append((h, rms, self.k1, k1_base, snapshot()))
+        restore(pinhole)
+        control = [t for t in trials if t[3] == 0.0]
+        fits = [t for t in trials if t[3] != 0.0]
+        if not control or not fits:
             return
-        self.log(f"distortion model rejected: k1={self.k1:+.4f} "
-                 f"(rms {rms0:.2f} -> {rms1:.2f}px); keeping pinhole")
-        (self.R, self.t, self.points, self.has_point, self.tracks,
-         self.img_tracks, self._dropped_obs) = snap
-        self.k1 = 0.0
+        h0, rms0, _, _, _ = control[0]
+        trace = ", ".join(f"{b:+.2f}:h{h}/r{r:.2f}px/k1={k:+.3f}"
+                          for (h, r, k, b, _) in trials)
+        h1, rms1, k1_fit, _, winner = max(fits, key=lambda tr: (tr[0], -tr[1]))
+        # Acceptance must be DECISIVE (COLMAP model selection spirit): the
+        # richer model wins only by explaining materially more observations
+        # than the equally-treated control (the re-gated border evidence) at
+        # no rms cost, or the same set materially better. Anything marginal
+        # keeps pinhole — a free k1 always "improves" rms a hair by bending
+        # along the (f, k1) ridge while silently warping the poses.
+        accept = (0.01 <= abs(k1_fit) < 0.5
+                  and ((h1 >= h0 + max(8, int(0.04 * h0))
+                        and rms1 <= rms0 * 1.1)
+                       or (h1 >= h0 and rms1 < 0.75 * rms0)))
+        self.log(f"distortion multistart: {{{trace}}} -> "
+                 + (f"k1={k1_fit:+.4f}" if accept else "pinhole"))
+        if accept:
+            restore(winner)
+
+    def _obs_consensus(self):
+        """Model-comparison score for the distortion decision: the number of
+        track observations (live + quarantined) the current model explains
+        within the filter threshold, and the rms in px over the explained
+        set. Counting the UNION with quarantined obs makes scores comparable
+        across models that filtered differently — a model cannot win by
+        dropping the observations it fails to explain."""
+        max_err_n = self.cfg.max_reproj_error_px / self.fx
+        per_img: List[List[Tuple[int, int]]] = [[] for _ in range(self.n)]
+        for img in np.nonzero(self.registered)[0]:
+            for tid, feat in self.img_tracks[int(img)].items():
+                if self.has_point[tid]:
+                    per_img[int(img)].append((tid, feat))
+        for (img, tid), feat in self._dropped_obs.items():
+            if self.registered[img] and self.has_point[tid]:
+                per_img[img].append((tid, feat))
+        count, sq = 0, 0.0
+        for img in range(self.n):
+            if not per_img[img]:
+                continue
+            tids = np.array([t for t, _ in per_img[img]], np.int64)
+            feats = np.array([f for _, f in per_img[img]], np.int64)
+            uv = self._norm_coords(img, feats)
+            pc = self.points[tids] @ self.R[img].T + self.t[img]
+            z = np.maximum(pc[:, 2:3], 1e-6)
+            err = np.linalg.norm(pc[:, :2] / z - uv, axis=1)
+            good = (pc[:, 2] > 1e-6) & (err < max_err_n)
+            count += int(good.sum())
+            sq += float((err[good] ** 2).sum())
+        rms_px = float(np.sqrt(sq / max(count, 1))) * self.fx
+        return count, rms_px
 
     def _merge_submodels(self, best, attempts):
         """COLMAP-style sub-model merging. Different init pairs can each grow
@@ -871,7 +949,7 @@ class IncrementalMapper:
         registered observations (coverage grows as cameras register/BA improves)."""
         self._triangulate_image_tracks(list(np.nonzero(self.registered)[0]))
 
-    def _readmit_observations(self) -> int:
+    def _readmit_observations(self, slack: float = 1.0) -> int:
         """Re-test quarantined observations against the CURRENT map and
         restore the ones that now reproject within threshold.
 
@@ -880,8 +958,13 @@ class IncrementalMapper:
         corrects it, and the resulting permanent sparsity is what collapses
         later PnP margins into rescue chains (measured: 2.6 center RMSE from
         compounding rescue scale transfer on the ring scene). COLMAP's
-        retriangulation equivalently re-tests previously-discarded matches."""
-        max_err_n = self.cfg.max_reproj_error_px / self.fx
+        retriangulation equivalently re-tests previously-discarded matches.
+
+        `slack` loosens the acceptance threshold (used by the distortion
+        multistart: obs dropped under the pinhole model sit BEYOND the normal
+        threshold until the k1 fit explains them — Huber weighting in the
+        subsequent BA keeps the moderately-off readmissions from pulling)."""
+        max_err_n = self.cfg.max_reproj_error_px * slack / self.fx
         n_back = 0
         for (img, tid), feat in list(self._dropped_obs.items()):
             if not self.registered[img] or not self.has_point[tid]:
@@ -901,11 +984,18 @@ class IncrementalMapper:
             self.log(f"readmit: {n_back} observations restored")
         return n_back
 
-    def _augment_wide_pairs(self, max_span: int = 8) -> int:
+    def _augment_wide_pairs(self, max_span: int = 8,
+                            revisit: bool = False) -> int:
         """Pose-guided matching of registered pairs the ratio test couldn't
         verify: derive E from the current relative pose, epipolar-gate the
         descriptor matches, and merge the results into the track graph.
-        Returns the number of newly verified pairs."""
+        Returns the number of newly verified pairs.
+
+        With `revisit`, already-verified pairs are re-matched too (the
+        distortion multistart needs this: a verified pair's inlier set was
+        gated under the PINHOLE normalization, so the border matches that
+        carry the k1 evidence never reached the track graph — re-gating under
+        the k1 hypothesis is what admits them)."""
         from tpu_splat.sfm.matching import guided_match
 
         reg = np.nonzero(self.registered)[0]
@@ -917,7 +1007,8 @@ class IncrementalMapper:
                 a_i, b_i = int(a), int(b)
                 if b_i - a_i > max_span:
                     continue
-                if (a_i, b_i) in self.pair_matches or (b_i, a_i) in self.pair_matches:
+                if not revisit and ((a_i, b_i) in self.pair_matches
+                                    or (b_i, a_i) in self.pair_matches):
                     continue
                 # relative pose a->b (x_b = R x_a + t), E = [t]x R — the same
                 # convention guided_match gates with (p_b^T E p_a = 0)
