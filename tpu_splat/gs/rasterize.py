@@ -88,9 +88,9 @@ def tile_gaussians(
     scatter. Three-tier pair generation keeps the sort small (it is the main
     HBM traffic of binning): after the exact circle cull most gaussians touch
     exactly ONE live tile, so tier 0 emits a single primary-cell key per
-    gaussian; a capped set that still spans >1 live cell of its 2x2 grid
-    emits the remaining 3 cells (tier 1); a capped set of large ones gets the
-    full MAX_COVER grid (tier 2). Keys pack (tile_id << shift | depth_rank)
+    gaussian; capped sets that still span 2 / 3-4 live cells of their 2x2
+    grid emit 1 / 3 extra keys (tiers 1a/1b); a capped set of large ones gets
+    the full MAX_COVER grid (tier 2). Keys pack (tile_id << shift | depth_rank)
     into one uint32 so a single u32 sort yields per-tile depth order directly.
     """
     n = means2d.shape[0]
@@ -190,33 +190,56 @@ def tile_gaussians(
     keys0 = jnp.where(ok0 | big_unsel, (tile0 << shift) | rank_u,
                       sentinel | rank_u)
 
-    # Tier 1: the remaining 2x2 cells, for a capped set of smalls that still
+    # Tier 1: the remaining 2x2 cells, for capped sets of smalls that still
     # span more than one live cell after the exact cull (most don't: trained
     # splats are small vs 16px tiles and the circle cull kills corner cells).
-    # Selection priority = live-cell count, so 4-cell spanners keep full
-    # coverage before 2-cell ones when the cap binds.
+    # Split by straddle arity — the sort is the main HBM traffic of binning
+    # and 2-cell straddlers (edge crossers) outnumber 3/4-cell ones (corner
+    # crossers) roughly by tile_size/r, so giving every straddler 3 extra
+    # key rows wasted ~2/3 of tier 1's sort bytes on sentinels:
+    #   tier 1a: exactly-2-cell straddlers emit ONE extra key (k_mid1 cap)
+    #   tier 1b: 3/4-cell straddlers emit THREE extra keys (k_mid2 cap)
+    # mid_overflow flags a bind in either cap (overflowed straddlers keep
+    # their primary cell only — graceful degradation, not disappearance).
     n_live = jnp.sum(live1, axis=-1)
-    multi = small & (n_live > 1)
-    # N/2 covers the measured multi-cell fractions with headroom (bench
-    # 512K workload: 16% of valid; small trained splats at r~2px: ~45%
-    # bbox-straddle before the cull); mid_overflow flags a bind.
-    k_mid = min(max(n // 2, 8192), n)
-    _, mid_order = jax.lax.top_k(
-        jnp.where(multi, n_live, 0).astype(jnp.float32), k_mid)
-    mid_overflow = jnp.maximum(
-        jnp.sum(multi.astype(jnp.int32)) - k_mid, 0
+    two_cell = small & (n_live == 2)
+    many_cell = small & (n_live >= 3)
+    # Caps from the measured straddle fractions (bench 512K workload: 16% of
+    # valid multi-cell, corner-crossers a small minority of those), with
+    # generous headroom.
+    k_mid1 = min(max(n // 4, 8192), n)
+    k_mid2 = min(max(n // 16, 2048), n)
+    _, mid1_order = jax.lax.top_k(two_cell.astype(jnp.float32), k_mid1)
+    _, mid2_order = jax.lax.top_k(
+        jnp.where(many_cell, n_live, 0).astype(jnp.float32), k_mid2)
+    mid_overflow = (
+        jnp.maximum(jnp.sum(two_cell.astype(jnp.int32)) - k_mid1, 0)
+        + jnp.maximum(jnp.sum(many_cell.astype(jnp.int32)) - k_mid2, 0)
     )
-    is_mid = multi[mid_order]
-    # cells 0..3 minus the primary: j + (j >= prim)
+    # Tier 1a: the one live cell that is not the primary.
+    is_mid1 = two_cell[mid1_order]
+    c4 = jnp.arange(4, dtype=jnp.int32)[None, :]
+    cell_a = jnp.argmax(
+        live1[mid1_order] & (c4 != prim[mid1_order][:, None]), axis=-1
+    ).astype(jnp.int32)  # (K_mid1,)
+    pxa_ = x0[mid1_order] + cell_a % 2
+    pya_ = y0[mid1_order] + cell_a // 2
+    tile1a = (pya_ * tx + pxa_).astype(jnp.uint32)
+    rank_mid1 = rank_u[mid1_order]
+    keys1a = jnp.where(is_mid1, (tile1a << shift) | rank_mid1,
+                       sentinel | rank_mid1)
+    # Tier 1b: cells 0..3 minus the primary: j + (j >= prim)
+    is_mid2 = many_cell[mid2_order]
     j3 = jnp.arange(3, dtype=jnp.int32)[None, :]
-    cell = j3 + (j3 >= prim[mid_order][:, None]).astype(jnp.int32)  # (K_mid,3)
-    pxm = x0[mid_order][:, None] + cell % 2
-    pym = y0[mid_order][:, None] + cell // 2
-    okm = is_mid[:, None] & jnp.take_along_axis(live1[mid_order], cell, axis=-1)
-    rank_mid = rank_u[mid_order]
+    cell = j3 + (j3 >= prim[mid2_order][:, None]).astype(jnp.int32)  # (K_mid2,3)
+    pxm = x0[mid2_order][:, None] + cell % 2
+    pym = y0[mid2_order][:, None] + cell // 2
+    okm = is_mid2[:, None] & jnp.take_along_axis(
+        live1[mid2_order], cell, axis=-1)
+    rank_mid2 = rank_u[mid2_order]
     tilem = (pym * tx + pxm).astype(jnp.uint32)
-    keys1 = jnp.where(okm, (tilem << shift) | rank_mid[:, None],
-                      sentinel | rank_mid[:, None]).reshape(-1)
+    keys1b = jnp.where(okm, (tilem << shift) | rank_mid2[:, None],
+                       sentinel | rank_mid2[:, None]).reshape(-1)
 
     # Tier 2: full coverage grid for a capped set of large gaussians
     # (k_big defined with tier 0 above; top_k's lowest-index tie-break
@@ -244,24 +267,29 @@ def tile_gaussians(
     keys2 = jnp.where(ok2, (tile2 << shift) | rank_big[:, None],
                       sentinel | rank_big[:, None]).reshape(-1)
 
-    keys = jnp.concatenate([keys0, keys1, keys2])
+    keys = jnp.concatenate([keys0, keys1a, keys1b, keys2])
     np_total = keys.shape[0]
     pair_ids = jnp.arange(np_total, dtype=jnp.int32)
     sorted_keys, sorted_pid = jax.lax.sort_key_val(keys, pair_ids)
     sorted_tile = (sorted_keys >> shift).astype(jnp.int32)
     # The kernel-side gaussian id is pure arithmetic on the sorted pair id —
     # tier-0 pairs map to pid itself, tier-1/2 pairs to EXTENDED ids past n
-    # (the pack gather appends feat[big_order] then feat[mid_order] rows
-    # after the originals), so no gid payload rides the sort and no
-    # order-table gather happens.
-    n1 = n + 3 * k_mid
+    # (the pack gather appends feat[big_order] then feat[mid_order] rows,
+    # mid_order = [mid1_order; mid2_order], after the originals), so no gid
+    # payload rides the sort and no order-table gather happens.
+    n1a = n + k_mid1
+    n1b = n1a + 3 * k_mid2
     sorted_gid = jnp.where(
         sorted_pid < n,
         sorted_pid,
         jnp.where(
-            sorted_pid < n1,
-            n + k_big + (sorted_pid - n) // 3,
-            n + (sorted_pid - n1) // m2,
+            sorted_pid < n1a,
+            n + k_big + (sorted_pid - n),
+            jnp.where(
+                sorted_pid < n1b,
+                n + k_big + k_mid1 + (sorted_pid - n1a) // 3,
+                n + (sorted_pid - n1b) // m2,
+            ),
         ),
     ).astype(jnp.int32)
 
@@ -301,8 +329,18 @@ def tile_gaussians(
     )
     _, slot = jax.lax.sort_key_val(sorted_pid, slot_sorted)
     slots_prim = slot[:n].reshape(n, 1)
-    slots_mid = slot[n:n1].reshape(k_mid, 3)
-    slots_big = slot[n1:].reshape(-1, m2)
+    # One (K_mid1+K_mid2, 3) slot table keeps the pack-gather interface
+    # unsplit: tier-1a rows carry their single real slot plus two sentinel
+    # columns (the sentinel routes to the zero row in the gradient gather).
+    tk_sent = t_total * max_per_tile
+    slots_mid = jnp.concatenate([
+        jnp.concatenate(
+            [slot[n:n1a].reshape(k_mid1, 1),
+             jnp.full((k_mid1, 2), tk_sent, slot.dtype)], axis=1),
+        slot[n1a:n1b].reshape(k_mid2, 3),
+    ], axis=0)
+    mid_order = jnp.concatenate([mid1_order, mid2_order])
+    slots_big = slot[n1b:].reshape(-1, m2)
     return Binning(gidx, gvalid, slots_prim, slots_mid, slots_big,
                    mid_order, big_order, mid_overflow)
 
