@@ -205,19 +205,28 @@ def tile_gaussians(
     two_cell = small & (n_live == 2)
     many_cell = small & (n_live >= 3)
     # Caps from the measured straddle fractions (bench 512K workload: 16% of
-    # valid multi-cell, corner-crossers a small minority of those), with
-    # generous headroom.
+    # valid multi-cell, corner-crossers a small minority of those). The 8192
+    # floors mean scenes up to 8K gaussians can never overflow either tier
+    # (test fixtures, early maps); production N dominates the caps instead.
     k_mid1 = min(max(n // 4, 8192), n)
-    k_mid2 = min(max(n // 16, 2048), n)
-    _, mid1_order = jax.lax.top_k(two_cell.astype(jnp.float32), k_mid1)
+    k_mid2 = min(max(n // 16, 8192), n)
     _, mid2_order = jax.lax.top_k(
         jnp.where(many_cell, n_live, 0).astype(jnp.float32), k_mid2)
+    is_mid2 = many_cell[mid2_order]
+    # Tier 1a: one extra cell. Candidates are the 2-cell straddlers PLUS any
+    # corner-crossers tier 1b had no room for — a degradation chain (3-4
+    # cells -> 2 -> primary-only) instead of a cliff; the leftovers rank
+    # first (they lose more coverage).
+    sel_b = jnp.zeros((n,), bool).at[mid2_order].set(is_mid2)
+    score_a = jnp.where(two_cell, 2.0, 0.0) + jnp.where(
+        many_cell & ~sel_b, n_live.astype(jnp.float32), 0.0)
+    _, mid1_order = jax.lax.top_k(score_a, k_mid1)
+    is_mid1 = score_a[mid1_order] > 0.0
     mid_overflow = (
-        jnp.maximum(jnp.sum(two_cell.astype(jnp.int32)) - k_mid1, 0)
+        jnp.maximum(jnp.sum((score_a > 0).astype(jnp.int32)) - k_mid1, 0)
         + jnp.maximum(jnp.sum(many_cell.astype(jnp.int32)) - k_mid2, 0)
     )
-    # Tier 1a: the one live cell that is not the primary.
-    is_mid1 = two_cell[mid1_order]
+    # the first live cell that is not the primary
     c4 = jnp.arange(4, dtype=jnp.int32)[None, :]
     cell_a = jnp.argmax(
         live1[mid1_order] & (c4 != prim[mid1_order][:, None]), axis=-1
@@ -229,7 +238,6 @@ def tile_gaussians(
     keys1a = jnp.where(is_mid1, (tile1a << shift) | rank_mid1,
                        sentinel | rank_mid1)
     # Tier 1b: cells 0..3 minus the primary: j + (j >= prim)
-    is_mid2 = many_cell[mid2_order]
     j3 = jnp.arange(3, dtype=jnp.int32)[None, :]
     cell = j3 + (j3 >= prim[mid2_order][:, None]).astype(jnp.int32)  # (K_mid2,3)
     pxm = x0[mid2_order][:, None] + cell % 2

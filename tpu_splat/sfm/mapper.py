@@ -444,11 +444,51 @@ class IncrementalMapper:
         if not self.pair_matches:
             raise RuntimeError("SfM failed to converge: no verified image pairs")
         exclude = getattr(self, "_init_exclude", set())
-        candidates = [
+        cand_all = [
             p for p in sorted(
                 self.pair_inliers, key=self.pair_inliers.get, reverse=True)
             if p not in exclude
-        ][:5]
+        ]
+        # Rank strong candidates by view-graph CENTRALITY before raw inlier
+        # count: on chain-topology captures (orbits, walks) the strongest
+        # pair is often a chain END (end views sit closest to the content),
+        # and an end init grows the map one-sided — the far end arrives
+        # through the longest possible drift chain, with thin PnP margins
+        # and rescue scale-transfer warping on the way (measured: the same
+        # ring reconstructs at 59% center RMSE from an end init vs 16% from
+        # a central one). A central init halves the worst-case chain length.
+        # COLMAP-equivalent concern: its init scoring also prefers pairs
+        # that maximize downstream registrability, not just inliers.
+        if cand_all:
+            top_inl = self.pair_inliers[cand_all[0]]
+            strong = [p for p in cand_all
+                      if self.pair_inliers[p] >= 0.5 * top_inl][:12]
+            adj: Dict[int, set] = {}
+            for (i, j) in self.pair_inliers:
+                adj.setdefault(i, set()).add(j)
+                adj.setdefault(j, set()).add(i)
+
+            def eccentricity(pair):
+                frontier = set(pair)
+                seen = set(pair)
+                d = 0
+                while frontier:
+                    nxt = set()
+                    for u in frontier:
+                        nxt |= adj.get(u, set())
+                    nxt -= seen
+                    if not nxt:
+                        break
+                    seen |= nxt
+                    frontier = nxt
+                    d += 1
+                return d
+
+            candidates = sorted(
+                strong,
+                key=lambda p: (eccentricity(p), -self.pair_inliers[p]))[:5]
+        else:
+            candidates = []
         if not candidates:
             raise RuntimeError(
                 "SfM failed to converge: no initialization pair left")
@@ -1065,7 +1105,16 @@ class IncrementalMapper:
                 # E's are internally consistent but directionally random).
                 strong = inl.sum() >= max(2 * self.cfg.min_pnp_inliers,
                                           0.7 * len(gidx))
-                if ang > (25.0 if strong else 8.0):
+                # The weak gate widens with pair span: a DRIFTED chain map
+                # disagrees with a true span-s pair by the bend accumulated
+                # over s views (~2-3 deg/view on the ring fixture), and the
+                # wide pairs the gate exists to admit are exactly the ones
+                # that correct that bend — a fixed 8 deg rejects them all
+                # once the chain has bent enough to need them. Spurious
+                # candidates stay directionally random, so the span-scaled
+                # gate still rejects them with high probability.
+                gate = 25.0 if strong else min(8.0 + 2.5 * (b_i - a_i), 20.0)
+                if ang > gate:
                     continue
                 gidx = gidx[inl]
                 n_pairs += 1
