@@ -1110,10 +1110,17 @@ class IncrementalMapper:
                 # over s views (~2-3 deg/view on the ring fixture), and the
                 # wide pairs the gate exists to admit are exactly the ones
                 # that correct that bend — a fixed 8 deg rejects them all
-                # once the chain has bent enough to need them. Spurious
-                # candidates stay directionally random, so the span-scaled
-                # gate still rejects them with high probability.
-                gate = 25.0 if strong else min(8.0 + 2.5 * (b_i - a_i), 20.0)
+                # once the chain has bent enough to need them. The widening
+                # widening stops at span 4: beyond that, genuine visual
+                # overlap is gone on orbit/walk captures while repetitive-
+                # texture candidates keep matching, and a wide gate admits
+                # their internally-consistent-but-random E's wholesale
+                # (measured: a 20-deg gate at all spans with DSP descriptors
+                # admitted 43 wide pairs and tripled ring drift, 16% -> 43%)
+                # — far pairs fall back to the strict 8 deg.
+                span = b_i - a_i
+                gate = 25.0 if strong else (
+                    8.0 + 2.5 * span if span <= 4 else 8.0)
                 if ang > gate:
                     continue
                 gidx = gidx[inl]
