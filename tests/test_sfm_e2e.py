@@ -279,6 +279,38 @@ def test_sfm_recovers_forward_walk(walk_capture):
         f"camera center RMSE {rmse:.3f}; log: {logs}"
 
 
+def test_sfm_from_colmap_database(walk_capture, tmp_path):
+    """COLMAP database.db hand-off: extract+match in-process, export the DB
+    (mapper.export_colmap_database), then reconstruct purely FROM the DB
+    (run_sfm(colmap_database=...), intrinsics read from its camera row).
+    The reference's migration artifact — its engines all work against this
+    DB (main.py:950-1154) — must carry enough state to reproduce the map.
+    The u8 descriptor quantization (COLMAP convention) perturbs only the
+    endgame guided rematch, so the pose bound matches the direct run's."""
+    import os
+
+    import jax
+
+    from tpu_splat.sfm.mapper import IncrementalMapper
+
+    images, viewmats_gt = walk_capture
+    cfg = _walk_cfg()
+    with jax.default_matmul_precision("highest"):
+        m = IncrementalMapper(images, cfg, fx=FX, fy=FX, cx=W / 2, cy=H / 2)
+        m.extract_all()
+        m.match_all()
+    db_path = os.path.join(tmp_path, "database.db")
+    m.export_colmap_database(db_path)
+
+    logs = []
+    scene = run_sfm(images, cfg, colmap_database=db_path, log_fn=logs.append)
+    assert any("colmap db:" in s for s in logs), logs
+    rmse = _walk_rmse(scene, viewmats_gt, logs)
+    fx_rec = float(np.asarray(scene.cameras.fx)[0])
+    assert abs(fx_rec - FX) < 1e-3, "intrinsics must come from the DB camera"
+    assert rmse < 0.035 * 5.0, f"camera center RMSE {rmse:.3f}; log: {logs}"
+
+
 def test_sfm_self_calibration_forward_walk(walk_capture):
     """No intrinsics on the walk scene: forward-facing motion is the classic
     focal-depth ambiguity, so only pose quality is asserted (measured r3:
