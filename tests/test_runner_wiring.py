@@ -349,3 +349,41 @@ def test_selfcal_distortion_undistorts_after_sfm():
     ctx2["images"] = imgs
     _undistort_selfcal(ctx2)
     np.testing.assert_array_equal(ctx2["images"], imgs)
+
+
+def test_sfm_model_export_artifacts(tmp_path):
+    """_export_sfm_model delivers the COLMAP sparse model (text+binary) and
+    registers transforms.json as an artifact (reference workflow-output
+    parity: colmap_to_nerfstudio_cam.py + the sparse model upload)."""
+    import os
+
+    from tpu_splat.pipeline.component import PipelineContext
+    from tpu_splat.pipeline.runner import _export_sfm_model
+
+    n = 3
+    cams = Cameras(
+        camtoworlds=jnp.tile(jnp.eye(4), (n, 1, 1)),
+        fx=jnp.full((n,), 60.0), fy=jnp.full((n,), 60.0),
+        cx=jnp.full((n,), 32.0), cy=jnp.full((n,), 32.0),
+        distortion=jnp.zeros((n, 4)), width=64, height=64,
+    )
+    scene = SfMScene(
+        cameras=cams, points=jnp.zeros((5, 3)), point_colors=jnp.zeros((5, 3)),
+        point_errors=jnp.zeros(5), track_counts=jnp.ones(5),
+        registered=jnp.ones(n, bool),
+    )
+    ctx = PipelineContext(cfg=None, out_dir=str(tmp_path))
+    ctx["scene"] = scene
+    ctx["image_names"] = [f"img_{i}.png" for i in range(n)]
+    _export_sfm_model(ctx, np.ones(n, bool))
+    sparse = os.path.join(tmp_path, "colmap", "sparse", "0")
+    for f in ("cameras.txt", "images.txt", "points3D.txt",
+              "cameras.bin", "images.bin", "points3D.bin"):
+        assert os.path.exists(os.path.join(sparse, f)), f
+    tj = ctx["artifacts"]["transforms_json"]
+    assert os.path.exists(tj)
+    import json as _json
+    with open(tj) as f:
+        data = _json.load(f)
+    assert len(data["frames"]) == n
+    assert data["frames"][0]["file_path"].endswith("img_0.png")

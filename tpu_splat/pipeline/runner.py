@@ -486,8 +486,14 @@ def _sfm(ctx: PipelineContext):
                 from dataclasses import replace as _dc_replace
 
                 mcfg = _dc_replace(mcfg, refine_intrinsics=True)
+            colmap_dir = os.path.join(ctx["out_dir"], "colmap")
+            os.makedirs(colmap_dir, exist_ok=True)
+            db_path = os.path.join(colmap_dir, "database.db")
             scene = run_sfm(images, mcfg, fx=exif_fx, fy=exif_fx,
-                            log_fn=pipe_logger(ctx))
+                            log_fn=pipe_logger(ctx),
+                            export_database=db_path)
+            if os.path.exists(db_path):
+                ctx.setdefault("artifacts", {})["colmap_db"] = db_path
     except RuntimeError as e:
         raise PipelineError(755, str(e)) from e
     ctx["scene"] = scene
@@ -496,6 +502,32 @@ def _sfm(ctx: PipelineContext):
     if ctx.get("masks") is not None:
         ctx["masks"] = ctx["masks"][reg]
     _undistort_selfcal(ctx)
+    _export_sfm_model(ctx, reg)
+
+
+def _export_sfm_model(ctx: PipelineContext, reg: np.ndarray):
+    """Deliver the SfM model like the reference's workflow output: COLMAP
+    sparse model (text + binary, sparse/0 layout) under <out>/colmap/ and a
+    Nerfstudio transforms.json (colmap_to_nerfstudio_cam.py analog,
+    main.py:1202-1232) registered as a job artifact."""
+    from tpu_splat.sfm.colmap_io import (write_colmap_model,
+                                         write_colmap_model_binary,
+                                         write_transforms_json)
+
+    scene = ctx["scene"]
+    names = ctx.get("image_names")
+    if names is not None and len(names) == len(reg):
+        names = [nm for nm, r in zip(names, reg) if r]
+    else:
+        names = None
+    colmap_dir = os.path.join(ctx["out_dir"], "colmap")
+    sparse = os.path.join(colmap_dir, "sparse", "0")
+    os.makedirs(sparse, exist_ok=True)
+    write_colmap_model(scene, sparse, image_names=names)
+    write_colmap_model_binary(scene, sparse, image_names=names)
+    tj = os.path.join(colmap_dir, "transforms.json")
+    write_transforms_json(scene, tj, image_names=names)
+    ctx.setdefault("artifacts", {})["transforms_json"] = tj
 
 
 def _undistort_selfcal(ctx: PipelineContext):

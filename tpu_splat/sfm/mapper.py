@@ -1797,6 +1797,7 @@ def run_sfm(
     cy: Optional[float] = None,
     log_fn=None,
     colmap_database: Optional[str] = None,
+    export_database: Optional[str] = None,
 ) -> SfMScene:
     """images (N, H, W[, 3]) float in [0,1] -> SfMScene (poses + sparse points).
 
@@ -1820,7 +1821,12 @@ def run_sfm(
             m.extract_all()
             m.match_all()
         m.build_tracks()
-        return m.reconstruct()
+        scene = m.reconstruct()
+        if export_database is not None:
+            # post-reconstruct: a focal-multistart restart rebuilds matches,
+            # so the exported DB reflects the FINAL intrinsics' match sets
+            m.export_colmap_database(export_database)
+        return scene
 
 
 def _mapper_from_database(images, cfg, db_path, fx, fy, cx, cy, log_fn):
