@@ -121,8 +121,9 @@ def tile_gaussians_v3(means2d, depths, radii, width, height, tile_size,
     mid_order = jnp.zeros((k_mid + 1,), jnp.int32).at[slot_m].set(
         jnp.arange(n, dtype=jnp.int32), mode="drop")[:k_mid]
     is_mid = jnp.arange(k_mid) < mid_count
-    mid_overflow = (jnp.maximum(mid_count - k_mid, 0)
-                    + jnp.maximum(big_count - k_big, 0))
+    # unselected bigs degrade to a tier-0 center-tile key (not an overflow,
+    # matching tile_gaussians semantics); only corner-crossers past k_mid are.
+    mid_overflow = jnp.maximum(mid_count - k_mid, 0)
 
     c3 = rth_cell(3)[mid_order]
     c4 = rth_cell(4)[mid_order]

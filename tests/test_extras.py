@@ -113,6 +113,32 @@ class TestMatting:
         assert inside > 0.5, f"inside {inside}"
         assert outside < 0.3, f"outside {outside}"
 
+    def test_apply_mask_images_otsu_contract(self, rng):
+        """External masks binarize via the reference's invert->Otsu contract
+        (remove_object_using_mask.py:28-169): white marks the object to
+        remove, anti-aliased gray values split at the Otsu threshold, and the
+        object's core stays removed regardless of mask bit depth."""
+        from tpu_splat.matting.remove import apply_mask_images
+
+        img = rng.uniform(0.2, 1.0, (2, 48, 48, 3)).astype(np.float32)
+        # 8-bit anti-aliased mask: white square (remove), soft 1px edge ramp
+        m8 = np.zeros((48, 48), np.float32)
+        m8[16:32, 16:32] = 255.0
+        m8[15, 16:32] = m8[32, 16:32] = 140.0  # soft edge, above Otsu split
+        m8[14, 16:32] = 30.0  # faint halo, below split -> kept
+        # 16-bit variant of the same mask
+        m16 = (m8 * 257.0).astype(np.uint16)
+        masked, keeps = apply_mask_images(img, np.stack([m8, m16]))
+        for k in keeps:
+            assert k[20, 20] == 0.0  # object core removed
+            assert k[15, 20] == 0.0  # strong AA edge removed (Otsu)
+            assert k[14, 20] == 1.0  # faint halo kept
+            assert k[5, 5] == 1.0  # background kept
+        assert np.all(masked[0][keeps[0] == 0.0] == 0.0)
+        # constant all-black mask (nothing to remove) keeps everything
+        _, keep_none = apply_mask_images(img[:1], np.zeros((1, 48, 48)))
+        assert keep_none.min() == 1.0
+
     def test_sam2_propagation_mode(self, rng):
         img = np.full((6, 64, 64, 3), 0.1, np.float32)
         img[:, 20:44, 20:44] = 0.9

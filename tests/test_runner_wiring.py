@@ -206,6 +206,40 @@ def test_remove_human_subject_component():
     assert np.abs(removed).max() < 1e-6
 
 
+def test_remove_human_subject_external_masks(tmp_path):
+    """When the capture ships a masks/ directory, removeHumanSubject applies
+    it through the invert->Otsu contract instead of running detection
+    (remove_object_using_mask.py:147-166 pairs mask files with frames)."""
+    import cv2
+
+    from tpu_splat.core.config import JobConfig
+    from tpu_splat.pipeline.component import PipelineContext
+    from tpu_splat.pipeline.runner import _remove_human_subject
+
+    rng = np.random.default_rng(1)
+    n, h, w = 3, 64, 64
+    images = rng.uniform(0.3, 1.0, (n, h, w, 3)).astype(np.float32)
+    raw = tmp_path / "frames"
+    raw.mkdir()
+    mask_dir = tmp_path / "frames" / "masks"
+    mask_dir.mkdir()
+    for i in range(n):
+        m = np.zeros((h, w), np.uint8)
+        m[20:40, 10 + i : 30 + i] = 255  # subject square, drifting
+        cv2.imwrite(str(mask_dir / f"frame_{i:04d}.png"), m)
+    ctx = PipelineContext(cfg=JobConfig(uuid="t"), out_dir="")
+    ctx["images"] = images
+    ctx["raw_dir"] = str(raw)
+    ctx["image_names"] = [f"frame_{i:04d}.png" for i in range(n)]
+    _remove_human_subject(ctx)
+    masks = ctx["masks"]
+    assert masks.shape == (n, h, w)
+    for i in range(n):
+        assert masks[i, 30, 15 + i] == 0.0  # subject removed
+        assert masks[i, 5, 5] == 1.0  # background kept
+        assert np.abs(ctx["images"][i, 30, 15 + i]).max() == 0.0
+
+
 def test_portrait_rotation_delivery(tmp_path):
     """Portrait captures (H > W frames) deliver with the extra -90° y rotation
     (reference Rotation-Pre-SPZ hook, main.py:2201-2240) so the splat stands

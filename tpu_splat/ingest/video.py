@@ -169,6 +169,14 @@ def _is_depth_image(relpath: str) -> bool:
     return "depth" in os.path.basename(low) or low.split("/")[0] == "depth"
 
 
+def _is_mask_image(relpath: str) -> bool:
+    """Captures using removeHumanSubject may ship per-frame mask images in a
+    masks/ folder (remove_object_using_mask.py pairs them with frames); they
+    must not enter the color-image set."""
+    parts = relpath.lower().split("/")
+    return "masks" in parts[:-1]
+
+
 def extract_zip(zip_path: str, out_dir: str) -> List[str]:
     """Unpack a .zip capture; returns extracted color-image paths.
 
@@ -202,6 +210,9 @@ def extract_zip(zip_path: str, out_dir: str) -> List[str]:
                 if _is_depth_image(info.filename):
                     os.makedirs(os.path.join(out_dir, "depth"), exist_ok=True)
                     target = os.path.join(out_dir, "depth", base)
+                elif _is_mask_image(info.filename):
+                    os.makedirs(os.path.join(out_dir, "masks"), exist_ok=True)
+                    target = os.path.join(out_dir, "masks", base)
                 else:
                     target = os.path.join(out_dir, base)
                     kept.append(target)

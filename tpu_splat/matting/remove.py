@@ -118,6 +118,51 @@ def clean_mask(mask: np.ndarray, min_area_frac: float = 0.001) -> np.ndarray:
     return m.astype(np.float32)
 
 
+def apply_mask_images(
+    images: np.ndarray, mask_images: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Remove the region marked by externally supplied mask images.
+
+    Ports the remove_object_using_mask.py contract (reference
+    remove_object_using_mask.py:28-169): the grayscale mask marks the object to
+    REMOVE (white = object); it is inverted, any nonzero pixel of the inversion
+    becomes opaque, and the result is normalized to {0,1} with an Otsu
+    threshold — so anti-aliased or 16-bit masks binarize the same way the
+    reference's cv2.THRESH_OTSU pass does. Returns (masked_images, keep_masks),
+    keep_masks float32 in {0,1} with 1 = scene kept.
+
+    images: (N, H, W, 3) float32 [0,1]; mask_images: (N, H, W[, C]) any dtype.
+    """
+    import cv2
+
+    if images.shape[:3] != np.asarray(mask_images).shape[:3]:
+        raise ValueError(
+            f"images {images.shape[:3]} and masks "
+            f"{np.asarray(mask_images).shape[:3]} must share (N, H, W)"
+        )
+    keeps = np.zeros(images.shape[:3], np.float32)
+    for i, m in enumerate(mask_images):
+        m = np.asarray(m)
+        if m.ndim == 3:
+            m = m.mean(axis=-1)
+        m = m.astype(np.float32)
+        if m.max() > 1.0:
+            m = m / (65535.0 if m.max() > 255.0 else 255.0)
+        inv = 1.0 - np.clip(m, 0.0, 1.0)
+        # black_to_alpha: fully-black pixels of the inverted mask stay removed
+        # regardless of where Otsu lands (they are the object's core).
+        inv8 = (inv * 255.0 + 0.5).astype(np.uint8)
+        if inv8.min() == inv8.max():  # constant mask: Otsu undefined
+            keeps[i] = float(inv8.max() > 0)
+            continue
+        _, binary = cv2.threshold(
+            inv8, 0, 255, cv2.THRESH_BINARY + cv2.THRESH_OTSU
+        )
+        keeps[i] = (binary > 0).astype(np.float32) * (inv8 > 0)
+    masked = (images * keeps[..., None]).astype(np.float32)
+    return masked, keeps
+
+
 def _u2net_masks(images: np.ndarray, weights_path: str) -> np.ndarray:
     import jax.numpy as jnp
 

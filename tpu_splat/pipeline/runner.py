@@ -295,20 +295,67 @@ def _remove_background(ctx: PipelineContext):
     ctx["masks"] = masks
 
 
+def _find_mask_images(ctx: PipelineContext):
+    """Locate externally supplied mask images for the capture: a `masks/`
+    sibling directory whose files pair with the frames by sorted order (the
+    reference pairs os.listdir orderings, remove_object_using_mask.py:147-166).
+    Returns (N, H, W) float masks aligned to ctx images, or None."""
+    import cv2
+
+    raw_dir = ctx.get("raw_dir")
+    if not raw_dir:
+        return None
+    mask_dir = os.path.join(raw_dir, "masks")
+    if not os.path.isdir(mask_dir):
+        mask_dir = os.path.join(os.path.dirname(raw_dir.rstrip("/")), "masks")
+        if not os.path.isdir(mask_dir):
+            return None
+    files = sorted(
+        f for f in os.listdir(mask_dir)
+        if os.path.splitext(f)[1].lower() in (".png", ".jpg", ".jpeg", ".bmp")
+    )
+    if not files:
+        return None
+    images = ctx.require("images")
+    idx = ctx.get("frame_indices")
+    if len(files) != len(images) and idx is not None and len(files) > max(idx):
+        files = [files[i] for i in idx]  # masks were per raw frame
+    if len(files) != len(images):
+        raise PipelineError(
+            740, f"mask count {len(files)} != frame count {len(images)}"
+        )
+    h, w = images.shape[1:3]
+    masks = np.stack([
+        cv2.resize(
+            cv2.imread(os.path.join(mask_dir, f), cv2.IMREAD_GRAYSCALE),
+            (w, h), interpolation=cv2.INTER_LINEAR,
+        ).astype(np.float32)
+        for f in files
+    ])
+    return masks
+
+
 def _remove_human_subject(ctx: PipelineContext):
     """Remove a human subject from every frame (remove_object_using_mask.py:28-169
-    + the SAM2 human-detection seeding, main.py:912-941): detect the person with
-    the person-segmentation matting stack, then keep the COMPLEMENT — training
-    masks mark the scene minus the subject."""
-    from tpu_splat.matting.remove import remove_background_batch
+    + the SAM2 human-detection seeding, main.py:912-941). When the capture
+    ships mask images (a masks/ directory), they are applied through the
+    reference's invert -> alpha -> Otsu-binarize contract; otherwise the person
+    is detected with the person-segmentation matting stack. Either way the
+    training masks keep the COMPLEMENT — the scene minus the subject."""
+    from tpu_splat.matting.remove import apply_mask_images, remove_background_batch
 
     cfg: JobConfig = ctx["cfg"]
     images = ctx.require("images")
-    _, person_masks = remove_background_batch(
-        images, model="u2net_human_seg",
-        threshold=cfg.segmentation.mask_threshold,
-    )
-    keep = (1.0 - person_masks).astype(np.float32)
+    mask_imgs = _find_mask_images(ctx)
+    if mask_imgs is not None:
+        pipe_logger(ctx)(f"applying {len(mask_imgs)} external mask images")
+        _, keep = apply_mask_images(images, mask_imgs)
+    else:
+        _, person_masks = remove_background_batch(
+            images, model="u2net_human_seg",
+            threshold=cfg.segmentation.mask_threshold,
+        )
+        keep = (1.0 - person_masks).astype(np.float32)
     if ctx.get("masks") is not None:
         keep = keep * ctx["masks"]
     ctx["images"] = (images * keep[..., None]).astype(np.float32)
