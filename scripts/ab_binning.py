@@ -299,6 +299,116 @@ def part_c():
     bench(f_gather32, (enc32,), name="pack fwd: row gather f32 table")
 
 
+def part_c2():
+    """Full _pack_gather-equivalent fwd with candidate fixes."""
+    import jax
+    import jax.numpy as jnp
+    from tpu_splat.gs import pallas_raster as pr
+    from tpu_splat.gs.rasterize import tile_gaussians
+
+    proj, radii, opac, width, height, capacity = make_workload()
+    K = 512
+    b = tile_gaussians(proj.means2d, proj.depths, radii, width, height, 16, K,
+                       opacities=opac)
+    t_total = b.gidx.shape[0]
+    feat = jnp.concatenate(
+        [proj.means2d, proj.conics, jnp.ones((capacity, 3), jnp.float32) * 0.3,
+         opac[:, None], proj.depths[:, None],
+         jnp.zeros((capacity, pr.C_PACK - 10))], axis=-1)
+    sent = capacity + b.big_order.shape[0] + b.mid_order.shape[0]
+    gidx_ext = jnp.where(b.gvalid, b.gidx, sent)
+    t, k = gidx_ext.shape
+
+    def fwd(feat, barrier, bf16_out):
+        f16 = feat.astype(jnp.bfloat16)
+        lo = (feat[:, 0:2] - f16[:, 0:2].astype(jnp.float32)).astype(jnp.bfloat16)
+        enc = jnp.concatenate(
+            [f16[:, 0:2], lo, f16[:, 2:10], jnp.zeros_like(f16[:, :4])], axis=1)
+        enc_ext = jnp.concatenate(
+            [enc, enc[b.big_order], enc[b.mid_order], jnp.zeros_like(enc[:1])],
+            axis=0)
+        if barrier:
+            enc_ext = jax.lax.optimization_barrier(enc_ext)
+        g = enc_ext[gidx_ext.reshape(-1)].T.reshape(feat.shape[1], t, k)
+        if bf16_out:
+            return jnp.sum(g.astype(jnp.float32))
+        gf = g.astype(jnp.float32)
+        out = jnp.concatenate(
+            [gf[0:2] + gf[2:4], gf[4:12], jnp.zeros_like(gf[0:6])], axis=0)
+        return jnp.sum(out)
+
+    def f_cur(feat, i):
+        return fwd(feat + 0.0 * i, False, False)
+
+    def f_bar(feat, i):
+        return fwd(feat + 0.0 * i, True, False)
+
+    def f_bar16(feat, i):
+        return fwd(feat + 0.0 * i, True, True)
+
+    bench(f_cur, (feat,), name="pack fwd inline (no barrier)")
+    bench(f_bar, (feat,), name="pack fwd + optimization_barrier")
+    bench(f_bar16, (feat,), name="pack fwd + barrier, bf16 out (no decode)")
+
+
+def part_c3():
+    """Isolate pack-fwd stages with forced materialization."""
+    import jax
+    import jax.numpy as jnp
+    from tpu_splat.gs import pallas_raster as pr
+    from tpu_splat.gs.rasterize import tile_gaussians
+
+    proj, radii, opac, width, height, capacity = make_workload()
+    K = 512
+    b = tile_gaussians(proj.means2d, proj.depths, radii, width, height, 16, K,
+                       opacities=opac)
+    t_total = b.gidx.shape[0]
+    feat = jnp.concatenate(
+        [proj.means2d, proj.conics, jnp.ones((capacity, 3), jnp.float32) * 0.3,
+         opac[:, None], proj.depths[:, None],
+         jnp.zeros((capacity, pr.C_PACK - 10))], axis=-1)
+    sent = capacity + b.big_order.shape[0] + b.mid_order.shape[0]
+    gidx_ext = jnp.where(b.gvalid, b.gidx, sent)
+    t, k = gidx_ext.shape
+    flat_idx = gidx_ext.reshape(-1)
+
+    def build(feat):
+        f16 = feat.astype(jnp.bfloat16)
+        lo = (feat[:, 0:2] - f16[:, 0:2].astype(jnp.float32)).astype(jnp.bfloat16)
+        enc = jnp.concatenate(
+            [f16[:, 0:2], lo, f16[:, 2:10], jnp.zeros_like(f16[:, :4])], axis=1)
+        return jax.lax.optimization_barrier(jnp.concatenate(
+            [enc, enc[b.big_order], enc[b.mid_order], jnp.zeros_like(enc[:1])],
+            axis=0))
+
+    def f_g_mat(feat, i):
+        g = build(feat + 0.0 * i)[flat_idx]
+        g = jax.lax.optimization_barrier(g)
+        return jnp.sum(g.astype(jnp.float32))
+
+    def f_gt_mat(feat, i):
+        g = build(feat + 0.0 * i)[flat_idx].T
+        g = jax.lax.optimization_barrier(g)
+        return jnp.sum(g.astype(jnp.float32))
+
+    def f_g3_mat(feat, i):
+        g = build(feat + 0.0 * i)[flat_idx].reshape(t, k, 16)
+        g = jnp.transpose(g, (0, 2, 1))  # (t, 16, k) batched minor transpose
+        g = jax.lax.optimization_barrier(g)
+        return jnp.sum(g.astype(jnp.float32))
+
+    def f_g8_mat(feat, i):
+        g = build(feat + 0.0 * i)[flat_idx].reshape(t * k // 8, 8, 16)
+        g = jnp.transpose(g, (0, 2, 1)).reshape(t * k // 8, 128)
+        g = jax.lax.optimization_barrier(g)
+        return jnp.sum(g.astype(jnp.float32))
+
+    bench(f_g_mat, (feat,), name="enc + gather, materialized (no T)")
+    bench(f_gt_mat, (feat,), name="enc + gather + .T, materialized")
+    bench(f_g3_mat, (feat,), name="enc + gather + (t,16,k) batch-T, mat")
+    bench(f_g8_mat, (feat,), name="enc + gather + 8-slot 128-lane pack, mat")
+
+
 def main():
     import jax
     print(f"backend: {jax.default_backend()}, devices: {jax.devices()}",
@@ -306,10 +416,16 @@ def main():
     parts = sys.argv[1:] or ["A"]
     if "A" in parts:
         part_a()
+    if "A2" in parts:
+        part_a2()
     if "B" in parts:
         part_b()
     if "C" in parts:
         part_c()
+    if "C2" in parts:
+        part_c2()
+    if "C3" in parts:
+        part_c3()
 
 
 if __name__ == "__main__":

@@ -281,10 +281,10 @@ class TestTierOverflow:
         depths = jnp.asarray(rng.uniform(0.1, 10, n), jnp.float32)
         radii = jnp.full((n,), 10.0, jnp.float32)
         b = tile_gaussians(means2d, depths, radii, width, height, 16, 128)
-        # split tier-1 capacity: 1-extra-cell tier (n//4 floor 8192) +
-        # 3-extra-cell tier (n//16 floor 8192)
+        # tier-1b capacity (corner crossers): n//16, floor 8192. 2-cell
+        # straddlers ride the unconditional tier-1a key and never overflow.
         k_mid = b.mid_order.shape[0]
-        assert k_mid == max(n // 4, 8192) + max(n // 16, 8192)
+        assert k_mid == max(n // 16, 8192)
         assert int(b.mid_overflow) > 0
         # every valid gaussian still appears at least once (primary cell for
         # smalls / overflow mids, center tile for overflow bigs) ...

@@ -47,8 +47,8 @@ class Binning(NamedTuple):
 
     gidx: jnp.ndarray         # (T, K) int32 extended gaussian ids
     gvalid: jnp.ndarray       # (T, K) bool
-    slots_prim: jnp.ndarray   # (N, 1) int32 tier-0 inverse slots
-    slots_mid: jnp.ndarray    # (K_mid, 3) int32 tier-1 inverse slots
+    slots_prim: jnp.ndarray   # (N, 2) int32 tier-0 + tier-1a inverse slots
+    slots_mid: jnp.ndarray    # (K_mid, 2) int32 tier-1b inverse slots
     slots_big: jnp.ndarray    # (K_big, m2) int32 tier-2 inverse slots
     mid_order: jnp.ndarray    # (K_mid,) int32 original ids of tier 1
     big_order: jnp.ndarray    # (K_big,) int32 original ids of tier 2
@@ -85,13 +85,23 @@ def tile_gaussians(
 
     Everything stays in ORIGINAL gaussian index space — no permutation of the
     differentiable feature arrays ever happens, so no gradient ever needs a
-    scatter. Three-tier pair generation keeps the sort small (it is the main
-    HBM traffic of binning): after the exact circle cull most gaussians touch
-    exactly ONE live tile, so tier 0 emits a single primary-cell key per
-    gaussian; capped sets that still span 2 / 3-4 live cells of their 2x2
-    grid emit 1 / 3 extra keys (tiers 1a/1b); a capped set of large ones gets
-    the full MAX_COVER grid (tier 2). Keys pack (tile_id << shift | depth_rank)
-    into one uint32 so a single u32 sort yields per-tile depth order directly.
+    scatter. Tier layout (selection is the binning bottleneck on TPU — a
+    top_k over N costs a full sort, so the design uses none on the hot
+    per-gaussian paths):
+      tier 0 : one key per gaussian — first live cell of its 2x2 grid
+               (smalls), center tile (overflow bigs), sentinel otherwise.
+      tier 1a: one UNCONDITIONAL key per gaussian — the second live cell when
+               the gaussian straddles 2+ cells, sentinel otherwise. The
+               gaussian id stays ORIGINAL (pure arithmetic on the pair id),
+               so there is no selection pass and no appended pack rows.
+      tier 1b: corner-crossers (3-4 live cells) compacted by cumsum+scatter
+               into K_mid slots; 2 extra keys each (3rd + 4th cell).
+      tier 2 : large-coverage gaussians compacted by cumsum+scatter into
+               K_big slots; full MAX_COVER grid each.
+    Sentinel keys ride the sort (~2N of them), but one u32 sort scales far
+    better than the three top_k selections it replaces (measured 26 -> 18 ms
+    at 512K/720p). Keys pack (tile_id << shift | depth_rank) into one uint32
+    so a single u32 sort yields per-tile depth order directly.
     """
     n = means2d.shape[0]
     tx = _ceil_div(width, tile_size)
@@ -172,6 +182,30 @@ def tile_gaussians(
     live1 &= ~tile_miss(means2d[:, None, 0], means2d[:, None, 1],
                         radii_cull[:, None], px1, py1)
 
+    # Per-gaussian live-cell rank bookkeeping: ranks[i, c] = how many of the
+    # first c+1 cells are live; rth_cell(r) = index of the r-th live cell.
+    ranks = jnp.cumsum(live1.astype(jnp.int32), axis=1)
+    n_live = ranks[:, 3]
+
+    def rth_cell(r):
+        return jnp.argmax(live1 & (ranks == r), axis=-1).astype(jnp.int32)
+
+    def cell_tile(c):
+        return ((y0 + c // 2) * tx + (x0 + c % 2)).astype(jnp.uint32)
+
+    # Big compaction: cumsum + one tiny scatter (a top_k over N costs a full
+    # sort; this is two orders cheaper). Order within the big set is
+    # irrelevant — the slots_big/feat[big_order] mapping is internally
+    # consistent either way.
+    k_big = min(max(n // 64, 512), n)
+    pos_b = jnp.cumsum(big.astype(jnp.int32)) - 1
+    big_count = pos_b[-1] + 1
+    slot_b = jnp.where(big & (pos_b < k_big), pos_b, k_big)
+    big_order = jnp.zeros((k_big + 1,), jnp.int32).at[slot_b].set(
+        jnp.arange(n, dtype=jnp.int32), mode="drop")[:k_big]
+    is_big_slot = jnp.arange(k_big) < big_count
+    big_unsel = big & (pos_b >= k_big)
+
     # Tier 0: one key per gaussian. Smalls emit their first live 2x2 cell
     # (the cell holding the mean is always live, so every live small emits
     # exactly one key). Bigs that don't make the tier-2 cap emit the tile
@@ -179,84 +213,53 @@ def tile_gaussians(
     # vanishing (tier-2-selected bigs must NOT also emit here: their grid
     # already covers the center cell and a duplicate pair would composite
     # the gaussian twice).
-    prim = jnp.argmax(live1, axis=-1).astype(jnp.int32)  # (N,)
-    tile0 = ((y0 + prim // 2) * tx + (x0 + prim % 2)).astype(jnp.uint32)
-    ok0 = jnp.take_along_axis(live1, prim[:, None], axis=-1)[:, 0]
-    k_big = min(max(n // 64, 512), n)
-    big_unsel = big & (jnp.cumsum(big.astype(jnp.int32)) > k_big)
+    prim = rth_cell(1)
+    ok0 = n_live >= 1
+    tile0 = cell_tile(prim)
     cxt = jnp.clip((means2d[:, 0] // tile_size).astype(jnp.int32), 0, tx - 1)
     cyt = jnp.clip((means2d[:, 1] // tile_size).astype(jnp.int32), 0, ty - 1)
     tile0 = jnp.where(big_unsel, (cyt * tx + cxt).astype(jnp.uint32), tile0)
     keys0 = jnp.where(ok0 | big_unsel, (tile0 << shift) | rank_u,
                       sentinel | rank_u)
 
-    # Tier 1: the remaining 2x2 cells, for capped sets of smalls that still
-    # span more than one live cell after the exact cull (most don't: trained
-    # splats are small vs 16px tiles and the circle cull kills corner cells).
-    # Split by straddle arity — the sort is the main HBM traffic of binning
-    # and 2-cell straddlers (edge crossers) outnumber 3/4-cell ones (corner
-    # crossers) roughly by tile_size/r, so giving every straddler 3 extra
-    # key rows wasted ~2/3 of tier 1's sort bytes on sentinels:
-    #   tier 1a: exactly-2-cell straddlers emit ONE extra key (k_mid1 cap)
-    #   tier 1b: 3/4-cell straddlers emit THREE extra keys (k_mid2 cap)
-    # mid_overflow flags a bind in either cap (overflowed straddlers keep
-    # their primary cell only — graceful degradation, not disappearance).
-    n_live = jnp.sum(live1, axis=-1)
-    two_cell = small & (n_live == 2)
-    many_cell = small & (n_live >= 3)
-    # Caps from the measured straddle fractions (bench 512K workload: 16% of
-    # valid multi-cell, corner-crossers a small minority of those). The 8192
-    # floors mean scenes up to 8K gaussians can never overflow either tier
-    # (test fixtures, early maps); production N dominates the caps instead.
-    k_mid1 = min(max(n // 4, 8192), n)
-    k_mid2 = min(max(n // 16, 8192), n)
-    _, mid2_order = jax.lax.top_k(
-        jnp.where(many_cell, n_live, 0).astype(jnp.float32), k_mid2)
-    is_mid2 = many_cell[mid2_order]
-    # Tier 1a: one extra cell. Candidates are the 2-cell straddlers PLUS any
-    # corner-crossers tier 1b had no room for — a degradation chain (3-4
-    # cells -> 2 -> primary-only) instead of a cliff; the leftovers rank
-    # first (they lose more coverage).
-    sel_b = jnp.zeros((n,), bool).at[mid2_order].set(is_mid2)
-    score_a = jnp.where(two_cell, 2.0, 0.0) + jnp.where(
-        many_cell & ~sel_b, n_live.astype(jnp.float32), 0.0)
-    _, mid1_order = jax.lax.top_k(score_a, k_mid1)
-    is_mid1 = score_a[mid1_order] > 0.0
-    mid_overflow = (
-        jnp.maximum(jnp.sum((score_a > 0).astype(jnp.int32)) - k_mid1, 0)
-        + jnp.maximum(jnp.sum(many_cell.astype(jnp.int32)) - k_mid2, 0)
-    )
-    # the first live cell that is not the primary
-    c4 = jnp.arange(4, dtype=jnp.int32)[None, :]
-    cell_a = jnp.argmax(
-        live1[mid1_order] & (c4 != prim[mid1_order][:, None]), axis=-1
-    ).astype(jnp.int32)  # (K_mid1,)
-    pxa_ = x0[mid1_order] + cell_a % 2
-    pya_ = y0[mid1_order] + cell_a // 2
-    tile1a = (pya_ * tx + pxa_).astype(jnp.uint32)
-    rank_mid1 = rank_u[mid1_order]
-    keys1a = jnp.where(is_mid1, (tile1a << shift) | rank_mid1,
-                       sentinel | rank_mid1)
-    # Tier 1b: cells 0..3 minus the primary: j + (j >= prim)
-    j3 = jnp.arange(3, dtype=jnp.int32)[None, :]
-    cell = j3 + (j3 >= prim[mid2_order][:, None]).astype(jnp.int32)  # (K_mid2,3)
-    pxm = x0[mid2_order][:, None] + cell % 2
-    pym = y0[mid2_order][:, None] + cell // 2
-    okm = is_mid2[:, None] & jnp.take_along_axis(
-        live1[mid2_order], cell, axis=-1)
-    rank_mid2 = rank_u[mid2_order]
-    tilem = (pym * tx + pxm).astype(jnp.uint32)
-    keys1b = jnp.where(okm, (tilem << shift) | rank_mid2[:, None],
-                       sentinel | rank_mid2[:, None]).reshape(-1)
+    # Tier 1a: one unconditional key per gaussian — the second live cell for
+    # 2+-cell straddlers, a sentinel otherwise. No selection pass, no order
+    # table, no appended pack rows: the kernel-side id is the ORIGINAL
+    # gaussian id (pid - n). ~Half these keys are sentinels, but they cost
+    # only sort bytes — cheaper than any per-gaussian selection.
+    sec = rth_cell(2)
+    keys1a = jnp.where(n_live >= 2, (cell_tile(sec) << shift) | rank_u,
+                       sentinel | rank_u)
 
-    # Tier 2: full coverage grid for a capped set of large gaussians
-    # (k_big defined with tier 0 above; top_k's lowest-index tie-break
-    # matches the cumsum test that routes unselected bigs to tier 0).
-    # big-first original ids via top_k (partial selection beats the former
-    # full argsort of N bools; order within the big set is irrelevant — the
-    # slots_big/feat[big_order] mapping is internally consistent either way)
-    _, big_order = jax.lax.top_k(big.astype(jnp.float32), k_big)
-    is_big_slot = big[big_order]
+    # Tier 1b: corner-crossers (3-4 live cells) compacted into k_mid slots,
+    # 2 extra keys each (3rd + 4th live cell). The 8192 floor means scenes
+    # up to 8K gaussians can never overflow (test fixtures, early maps).
+    # Overflowed corner-crossers keep their first two cells (tiers 0+1a) —
+    # graceful degradation, not disappearance; mid_overflow counts them.
+    k_mid = min(max(n // 16, 8192), n)
+    corner = n_live >= 3
+    pos_m = jnp.cumsum(corner.astype(jnp.int32)) - 1
+    mid_count = pos_m[-1] + 1
+    slot_m = jnp.where(corner & (pos_m < k_mid), pos_m, k_mid)
+    mid_order = jnp.zeros((k_mid + 1,), jnp.int32).at[slot_m].set(
+        jnp.arange(n, dtype=jnp.int32), mode="drop")[:k_mid]
+    is_mid = jnp.arange(k_mid) < mid_count
+    mid_overflow = jnp.maximum(mid_count - k_mid, 0)
+
+    c3 = rth_cell(3)[mid_order]
+    c4 = rth_cell(4)[mid_order]
+    rank_mid = rank_u[mid_order]
+    t3 = ((y0[mid_order] + c3 // 2) * tx
+          + (x0[mid_order] + c3 % 2)).astype(jnp.uint32)
+    t4 = ((y0[mid_order] + c4 // 2) * tx
+          + (x0[mid_order] + c4 % 2)).astype(jnp.uint32)
+    keys1b = jnp.stack([
+        jnp.where(is_mid, (t3 << shift) | rank_mid, sentinel | rank_mid),
+        jnp.where(is_mid & (n_live[mid_order] >= 4),
+                  (t4 << shift) | rank_mid, sentinel | rank_mid),
+    ], axis=1).reshape(-1)
+
+    # Tier 2: full coverage grid for the compacted set of large gaussians.
     m2 = MAX_COVER_X * MAX_COVER_Y
     dx2 = jnp.arange(m2, dtype=jnp.int32) % MAX_COVER_X
     dy2 = jnp.arange(m2, dtype=jnp.int32) // MAX_COVER_X
@@ -281,21 +284,21 @@ def tile_gaussians(
     sorted_keys, sorted_pid = jax.lax.sort_key_val(keys, pair_ids)
     sorted_tile = (sorted_keys >> shift).astype(jnp.int32)
     # The kernel-side gaussian id is pure arithmetic on the sorted pair id —
-    # tier-0 pairs map to pid itself, tier-1/2 pairs to EXTENDED ids past n
-    # (the pack gather appends feat[big_order] then feat[mid_order] rows,
-    # mid_order = [mid1_order; mid2_order], after the originals), so no gid
-    # payload rides the sort and no order-table gather happens.
-    n1a = n + k_mid1
-    n1b = n1a + 3 * k_mid2
+    # tier-0 AND tier-1a pairs map to the ORIGINAL id (pid, pid - n), tier
+    # 1b/2 pairs to EXTENDED ids past n (the pack gather appends
+    # feat[big_order] then feat[mid_order] rows after the originals), so no
+    # gid payload rides the sort and no order-table gather happens.
+    n1a = 2 * n
+    n1b = n1a + 2 * k_mid
     sorted_gid = jnp.where(
         sorted_pid < n,
         sorted_pid,
         jnp.where(
             sorted_pid < n1a,
-            n + k_big + (sorted_pid - n),
+            sorted_pid - n,
             jnp.where(
                 sorted_pid < n1b,
-                n + k_big + k_mid1 + (sorted_pid - n1a) // 3,
+                n + k_big + (sorted_pid - n1a) // 2,
                 n + (sorted_pid - n1b) // m2,
             ),
         ),
@@ -336,18 +339,11 @@ def tile_gaussians(
         t_total * max_per_tile,
     )
     _, slot = jax.lax.sort_key_val(sorted_pid, slot_sorted)
-    slots_prim = slot[:n].reshape(n, 1)
-    # One (K_mid1+K_mid2, 3) slot table keeps the pack-gather interface
-    # unsplit: tier-1a rows carry their single real slot plus two sentinel
-    # columns (the sentinel routes to the zero row in the gradient gather).
-    tk_sent = t_total * max_per_tile
-    slots_mid = jnp.concatenate([
-        jnp.concatenate(
-            [slot[n:n1a].reshape(k_mid1, 1),
-             jnp.full((k_mid1, 2), tk_sent, slot.dtype)], axis=1),
-        slot[n1a:n1b].reshape(k_mid2, 3),
-    ], axis=0)
-    mid_order = jnp.concatenate([mid1_order, mid2_order])
+    # Tiers 0 and 1a both address ORIGINAL rows, so they share the (N, 2)
+    # primary route (sentinel slots route to the zero row in the gradient
+    # gather); tier 1b gets its own (K_mid, 2) table over mid_order rows.
+    slots_prim = slot[:n1a].reshape(2, n).T
+    slots_mid = slot[n1a:n1b].reshape(k_mid, 2)
     slots_big = slot[n1b:].reshape(-1, m2)
     return Binning(gidx, gvalid, slots_prim, slots_mid, slots_big,
                    mid_order, big_order, mid_overflow)
