@@ -181,3 +181,58 @@ class TestBundleAdjust:
         )
         R, t, Xout, rms, _, _ = bundle_adjust(problem, outer_iters=6, cg_iters=20)
         assert float(rms) < 0.01
+
+
+class TestPerCameraIntrinsics:
+    """refine_intrinsics_per_camera (sfm/intrinsics.py): fixed-geometry
+    closed-form per-camera focal/principal-point polish — the COLMAP
+    refine_intrinsics analog (reference main.py:1090-1113)."""
+
+    def test_recovers_per_camera_focal_and_pp(self, rng):
+        from tpu_splat.sfm.intrinsics import refine_intrinsics_per_camera
+
+        problem, Rs, ts, X = build_problem(
+            rng, n_cams=5, noise=0.0005, pose_jitter=0.0, point_jitter=0.0)
+        # inject per-camera intrinsics errors INTO the observations:
+        # obs' = s_true * proj + d_true (what a camera with focal f*s_true
+        # and shifted principal point would have measured)
+        s_true = np.array([1.0, 1.04, 0.97, 1.02, 0.95], np.float32)
+        d_true = np.array(
+            [[0, 0], [0.004, -0.003], [-0.002, 0.005], [0.003, 0.001],
+             [-0.004, -0.002]], np.float32)
+        cam = np.asarray(problem.obs_cam)
+        obs = np.asarray(problem.obs_uv)
+        obs = obs * s_true[cam][:, None] + d_true[cam]
+        problem = problem._replace(obs_uv=jnp.asarray(obs))
+
+        s, d, rms = refine_intrinsics_per_camera(problem)
+        assert np.allclose(np.asarray(s), s_true, atol=0.005), np.asarray(s)
+        assert np.allclose(np.asarray(d), d_true, atol=0.002), np.asarray(d)
+        assert float(rms) < 0.002
+
+    def test_few_observation_cameras_keep_identity(self, rng):
+        from tpu_splat.sfm.intrinsics import refine_intrinsics_per_camera
+
+        problem, *_ = build_problem(rng, n_cams=4, noise=0.0005)
+        # starve camera 3 of observations (below the 12-obs floor)
+        cam = np.asarray(problem.obs_cam)
+        valid = np.asarray(problem.obs_valid).copy()
+        idx3 = np.nonzero(cam == 3)[0]
+        valid[idx3[8:]] = False
+        problem = problem._replace(obs_valid=jnp.asarray(valid))
+        s, d, _ = refine_intrinsics_per_camera(problem)
+        assert float(s[3]) == 1.0
+        assert np.all(np.asarray(d[3]) == 0.0)
+
+    def test_robust_to_outliers(self, rng):
+        from tpu_splat.sfm.intrinsics import refine_intrinsics_per_camera
+
+        problem, *_ = build_problem(rng, n_cams=4, noise=0.0005,
+                                    pose_jitter=0.0, point_jitter=0.0,
+                                    outlier_frac=0.1)
+        s_true = np.array([1.0, 1.05, 0.96, 1.02], np.float32)
+        cam = np.asarray(problem.obs_cam)
+        obs = np.asarray(problem.obs_uv) * s_true[cam][:, None]
+        problem = problem._replace(obs_uv=jnp.asarray(obs))
+        s, d, _ = refine_intrinsics_per_camera(problem)
+        assert np.allclose(np.asarray(s), s_true, atol=0.01), np.asarray(s)

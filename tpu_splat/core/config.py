@@ -70,6 +70,9 @@ class SfMConfig:
     # Auto-switch to exhaustive matching below this image count (main.py:1017-1032).
     exhaustive_matching_max_images: int = 20
     max_features_per_image: int = 4096
+    # Per-camera focal/principal-point polish on the converged map (COLMAP's
+    # refine_intrinsics, main.py:1090-1113). Job-JSON: sfm.refineIntrinsics.
+    refine_intrinsics_per_camera: bool = False
 
 
 @dataclass
@@ -218,6 +221,8 @@ def job_config_from_json(payload: dict | str) -> JobConfig:
                 sfm.get("enableEnhancedFeatureExtraction"), True
             ),
             matching_method=str(sfm.get("matchingMethod") or "sequential"),
+            refine_intrinsics_per_camera=_as_bool(
+                sfm.get("refineIntrinsics"), False),
             pose_priors=PosePriorConfig(
                 use_pose_prior_colmap_model_files=_as_bool(
                     pp_root.get("usePosePriorColmapModelFiles"), False
@@ -289,6 +294,7 @@ def job_config_to_json(cfg: JobConfig) -> dict:
             "softwareName": cfg.sfm.software_name,
             "enableEnhancedFeatureExtraction": cfg.sfm.enable_enhanced_feature_extraction,
             "matchingMethod": cfg.sfm.matching_method,
+            "refineIntrinsics": cfg.sfm.refine_intrinsics_per_camera,
             "posePriors": {
                 "usePosePriorColmapModelFiles": cfg.sfm.pose_priors.use_pose_prior_colmap_model_files,
                 "usePosePriorTransformJson": {

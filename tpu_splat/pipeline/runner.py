@@ -509,6 +509,7 @@ def _sfm(ctx: PipelineContext):
         ),
         matching_method=cfg.sfm.matching_method,
         exhaustive_max_images=cfg.sfm.exhaustive_matching_max_images,
+        refine_per_camera=cfg.sfm.refine_intrinsics_per_camera,
     )
     try:
         if ctx.get("prior_c2ws") is not None:
@@ -545,6 +546,12 @@ def _sfm(ctx: PipelineContext):
         raise PipelineError(755, str(e)) from e
     ctx["scene"] = scene
     reg = np.asarray(scene.registered)
+    # job-report metrics (the reference surfaces the same counts in its
+    # completion email, workflow_complete.py:386-406)
+    ctx.setdefault("metrics", {}).update({
+        "num_images": float(len(reg)),
+        "num_registered": float(reg.sum()),
+    })
     ctx["images"] = images[reg]
     if ctx.get("masks") is not None:
         ctx["masks"] = ctx["masks"][reg]

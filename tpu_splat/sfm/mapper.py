@@ -73,6 +73,12 @@ class MapperConfig:
     # default camera model refines f AND k1; reference main.py:1090-1113).
     # Only active when intrinsics are being refined at all.
     refine_distortion: bool = True
+    # Per-camera focal / principal-point polish on the CONVERGED map (COLMAP's
+    # ba_refine_focal_length/ba_refine_principal_point per camera; the
+    # reference turns this on for its pose-prior triangulator,
+    # main.py:1090-1113). Off by default: single-camera captures are the norm
+    # and a shared focal is better-conditioned there.
+    refine_per_camera: bool = False
     seed: int = 0
 
 
@@ -132,6 +138,9 @@ class IncrementalMapper:
         # at endgame, by model selection (_refine_distortion_endgame).
         self.k1 = 0.0
         self._calib_k1 = self.calibrate and cfg.refine_distortion
+        # per-camera endgame corrections (None until _refine_per_camera_intrinsics)
+        self.percam_fscale: Optional[np.ndarray] = None
+        self.percam_pp: Optional[np.ndarray] = None
         self.log = log_fn or (lambda s: None)
         self.key = jax.random.PRNGKey(cfg.seed)
         self._attempts = np.zeros(self.n, np.int32)
@@ -689,8 +698,44 @@ class IncrementalMapper:
         self._retriangulate()
         self._bundle_adjust(extended=True)
         self._refine_distortion_endgame()
+        self._refine_per_camera_intrinsics()
         self._filter_points()
         return self._to_scene()
+
+    def _refine_per_camera_intrinsics(self):
+        """Post-BA per-camera focal/principal-point polish (opt-in,
+        cfg.refine_per_camera): a fixed-geometry closed-form fit per camera
+        against the converged map (sfm/intrinsics.py). Results are stored as
+        per-camera corrections and surface in the output Cameras — the map
+        itself is not re-bent (the shared-focal BA owns the geometry)."""
+        if not self.cfg.refine_per_camera or self.registered.sum() < 3:
+            return
+        cam_ids, live, obs_cam, obs_pt, obs_uv = self._gather_observations()
+        if len(obs_cam) < 24:
+            return
+        from tpu_splat.sfm.ba import BAProblem
+        from tpu_splat.sfm.intrinsics import refine_intrinsics_per_camera
+
+        problem = BAProblem(
+            cam_rotmats=jnp.asarray(self.R[cam_ids]),
+            cam_trans=jnp.asarray(self.t[cam_ids]),
+            points=jnp.asarray(self.points[live]),
+            obs_cam=jnp.asarray(obs_cam, dtype=jnp.int32),
+            obs_pt=jnp.asarray(obs_pt, dtype=jnp.int32),
+            obs_uv=jnp.asarray(obs_uv, dtype=jnp.float32),
+            obs_valid=jnp.ones((len(obs_cam),), bool),
+        )
+        s, d, rms = refine_intrinsics_per_camera(problem)
+        self.percam_fscale = np.zeros((self.n,), np.float32)
+        self.percam_pp = np.zeros((self.n, 2), np.float32)
+        self.percam_fscale[cam_ids] = np.asarray(s)
+        self.percam_pp[cam_ids] = np.asarray(d)
+        self.percam_fscale[self.percam_fscale == 0.0] = 1.0
+        self.log(
+            f"per-camera intrinsics: focal x[{float(s.min()):.4f}, "
+            f"{float(s.max()):.4f}], |pp| <= "
+            f"{float(jnp.max(jnp.abs(d))) * self.fx:.2f}px, "
+            f"rms {float(rms) * self.fx:.2f}px")
 
     def _refine_distortion_endgame(self):
         """Decide the shared SIMPLE_RADIAL k1 by model selection on the
@@ -1760,12 +1805,24 @@ class IncrementalMapper:
         w2c[:, :3, :3] = self.R[cam_ids]
         w2c[:, :3, 3] = self.t[cam_ids]
         c2w = np.linalg.inv(w2c)
+        fx_arr = np.full((len(cam_ids),), self.fx, np.float32)
+        fy_arr = np.full((len(cam_ids),), self.fy, np.float32)
+        cx_arr = np.full((len(cam_ids),), self.cx, np.float32)
+        cy_arr = np.full((len(cam_ids),), self.cy, np.float32)
+        if self.percam_fscale is not None:
+            # endgame per-camera polish (cfg.refine_per_camera): corrections
+            # live in normalized units -> pixels via the shared focal
+            s = self.percam_fscale[cam_ids]
+            fx_arr *= s
+            fy_arr *= s
+            cx_arr += self.percam_pp[cam_ids, 0] * self.fx
+            cy_arr += self.percam_pp[cam_ids, 1] * self.fy
         cams = Cameras(
             camtoworlds=jnp.asarray(c2w),
-            fx=jnp.full((len(cam_ids),), self.fx, jnp.float32),
-            fy=jnp.full((len(cam_ids),), self.fy, jnp.float32),
-            cx=jnp.full((len(cam_ids),), self.cx, jnp.float32),
-            cy=jnp.full((len(cam_ids),), self.cy, jnp.float32),
+            fx=jnp.asarray(fx_arr),
+            fy=jnp.asarray(fy_arr),
+            cx=jnp.asarray(cx_arr),
+            cy=jnp.asarray(cy_arr),
             # Self-calibrated shared radial term. The poses/points above live
             # in UNDISTORTED observation space (see _norm_coords), so this
             # records the distortion of the ORIGINAL images — consumers must
