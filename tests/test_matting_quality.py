@@ -57,3 +57,33 @@ def test_classical_matting_iou_floor():
 def test_flow_propagation_matting_iou_floor():
     iou = matting_iou("sam2")
     assert iou > 0.55, f"flow-propagation IoU {iou:.3f}"
+
+
+def _matnet_available() -> bool:
+    from tpu_splat.matting.matnet import bundled_weights_path
+
+    return bundled_weights_path() is not None
+
+
+def test_matnet_learned_iou_floor():
+    """The bundled learned matting net (the u2net-mode path when no torch
+    checkpoint is installed) must hit >=0.9 IoU on the held-out bench scene —
+    the reference's learned-matting quality bar (remove_background.py:254-268
+    trusts U2Net implicitly; this makes the bar explicit)."""
+    import pytest
+
+    if not _matnet_available():
+        pytest.skip("matnet weights not bundled in this build")
+    iou = matting_iou("u2net")
+    assert iou > 0.9, f"MatNet u2net-mode IoU {iou:.3f}"
+
+
+def test_sam2_mode_with_matnet_keyframes_iou():
+    """Flow propagation seeded by learned keyframes must also clear 0.9
+    (VERDICT r4 item 5: sam2-mode IoU >= 0.9 on the matting bench)."""
+    import pytest
+
+    if not _matnet_available():
+        pytest.skip("matnet weights not bundled in this build")
+    iou = matting_iou("sam2")
+    assert iou > 0.9, f"sam2-mode IoU with MatNet keyframes {iou:.3f}"

@@ -61,11 +61,16 @@ def saliency_laplacian_variance(
         _u2net_masks,
     )
 
+    from tpu_splat.matting.matnet import matnet_saliency
+
     n = len(images)
     weights = _find_u2net_weights() if model.startswith("u2net") else None
+    masks = None
     if weights is not None:
         masks = np.asarray(_u2net_masks(images, weights), np.float32)
-    else:  # classical saliency fallback (same stack as background removal)
+    if masks is None:  # bundled MatNet (learned, no downloads)
+        masks = matnet_saliency(images)
+    if masks is None:  # classical saliency fallback (same stack as bg removal)
         masks = np.stack([
             _saliency_mask((img * 255).astype(np.uint8)) for img in images
         ]).astype(np.float32)

@@ -5,9 +5,11 @@ remove_background_sam2.py) to native implementations:
 
 - "u2net" / "u2net_human_seg": flax U2Net when a converted checkpoint is
   available (TPU_SPLAT_U2NET_WEIGHTS env var or ~/.tpu_splat/u2net.pth);
-  otherwise a classical saliency fallback (spectral-residual saliency + GrabCut
-  refinement + center prior) so the pipeline works without downloads.
-- "sam2": video-mode propagation — per-keyframe saliency masks propagated with
+  otherwise the bundled MatNet (matting/matnet.py — a compact learned matting
+  net trained on procedural composites, shipped with the package so the
+  learned path works with zero downloads); classical saliency (spectral
+  residual + GrabCut + center prior) remains the last-resort fallback.
+- "sam2": video-mode propagation — per-keyframe learned masks propagated with
   dense optical flow and periodically refreshed, echoing the SAM2 video
   predictor's keyframe+propagation structure (remove_background_sam2.py:47-305)
   without its 2.3 GB checkpoint.
@@ -190,20 +192,40 @@ def remove_background_batch(
     weights = _find_u2net_weights()
     masks = np.zeros(images.shape[:3], np.float32)
 
+    def _keyframe_mask(img: np.ndarray) -> np.ndarray:
+        """Best available single-frame subject mask: bundled MatNet when
+        present (learned, sharp edges), classical saliency+GrabCut otherwise."""
+        from tpu_splat.matting.matnet import matnet_saliency
+
+        sal = matnet_saliency(img[None])
+        if sal is not None:
+            return clean_mask((sal[0] > 0.5).astype(np.float32))
+        return clean_mask(_grabcut_refine(img, _saliency_mask(img), threshold))
+
     if model in ("u2net", "u2net_human_seg") and weights:
         sal = _u2net_masks(images, weights)
         for i in range(n):
             masks[i] = clean_mask(_grabcut_refine(images[i], sal[i], threshold))
+    elif model in ("u2net", "u2net_human_seg"):
+        for i in range(n):
+            masks[i] = _keyframe_mask(images[i])
     elif model == "sam2":
-        # keyframe saliency + optical-flow propagation
+        # Video mode: per-frame learned prediction fused with the previous
+        # mask warped forward along dense optical flow — the memory-
+        # conditioned structure of the SAM2 video predictor (each frame is
+        # segmented UNDER the memory of previous masks,
+        # remove_background_sam2.py:76-124), not mere keyframe interpolation.
+        # Without the learned net (no bundled weights), keyframes fall back
+        # to saliency+GrabCut and intermediate frames ride the warp alone.
+        from tpu_splat.matting.matnet import matnet_saliency
+
+        sal_all = matnet_saliency(images)
         prev_gray = None
         prev_mask = None
         for i in range(n):
             gray = (np.clip(images[i], 0, 1).mean(-1) * 255).astype(np.uint8)
-            if i % keyframe_every == 0 or prev_mask is None:
-                sal = _saliency_mask(images[i])
-                masks[i] = clean_mask(_grabcut_refine(images[i], sal, threshold))
-            else:
+            warped = None
+            if prev_mask is not None:
                 flow = cv2.calcOpticalFlowFarneback(
                     prev_gray, gray, None, 0.5, 3, 21, 3, 5, 1.1, 0
                 )
@@ -212,6 +234,13 @@ def remove_background_batch(
                 map_x = xx - flow[..., 0]
                 map_y = yy - flow[..., 1]
                 warped = cv2.remap(prev_mask, map_x, map_y, cv2.INTER_LINEAR)
+            if sal_all is not None:
+                cur = sal_all[i]
+                fused = cur if warped is None else 0.65 * cur + 0.35 * warped
+                masks[i] = clean_mask((fused > 0.5).astype(np.float32))
+            elif i % keyframe_every == 0 or warped is None:
+                masks[i] = _keyframe_mask(images[i])
+            else:
                 masks[i] = clean_mask(warped)
             prev_gray = gray
             prev_mask = masks[i]
