@@ -28,6 +28,7 @@ def build_packed(rng, t_total, k, width_tiles, tile_size=16):
     from tpu_splat.gs import pallas_raster as pr
 
     feat = np.zeros((pr.C_PACK, t_total, k), np.float32)
+    counts = []
     for t in range(t_total):
         tx0 = (t % width_tiles) * tile_size
         ty0 = (t // width_tiles) * tile_size
@@ -59,7 +60,8 @@ def build_packed(rng, t_total, k, width_tiles, tile_size=16):
         feat[5:8, t, :n_g] = rng.uniform(0, 1, (3, n_g))
         feat[8, t, :n_g] = op
         feat[9, t, :n_g] = rng.uniform(0.5, 8.0, n_g)
-    return jnp.asarray(feat)
+        counts.append(n_g)
+    return jnp.asarray(feat), jnp.asarray(counts, jnp.int32)
 
 
 def check_composite(rng):
@@ -70,7 +72,7 @@ def check_composite(rng):
 
     tx, ty, tile_size = 4, 3, 16
     t_total, k = tx * ty, 2 * pr.CHUNK
-    packed = build_packed(rng, t_total, k, tx, tile_size)
+    packed, counts = build_packed(rng, t_total, k, tx, tile_size)
 
     out_p = jax.jit(lambda p: pr.composite_tiles(p, tx, ty, tile_size))(packed)
     out_r = jax.jit(
@@ -80,10 +82,23 @@ def check_composite(rng):
     print(f"composite fwd  max|pallas-ref| = {fwd_err:.3e}")
     assert fwd_err < 2e-5, "forward parity failed"
 
+    # counts-bounded sweep (the production rasterize() path) must be
+    # BIT-identical: skipped chunks are all-sentinel (alpha exactly 0)
+    out_c = jax.jit(
+        lambda p: pr.composite_tiles(p, tx, ty, tile_size, counts=counts)
+    )(packed)
+    cnt_err = float(jnp.max(jnp.abs(out_c[:, :5] - out_p[:, :5])))
+    print(f"composite fwd counts-bounded  = {cnt_err:.3e} (must be 0)")
+    assert cnt_err == 0.0, "counts-bounded forward changed the output"
+
     cot = jnp.asarray(rng.standard_normal(out_p.shape), jnp.float32)
 
     def loss_p(p):
         return jnp.sum(pr.composite_tiles(p, tx, ty, tile_size) * cot)
+
+    def loss_c(p):
+        return jnp.sum(
+            pr.composite_tiles(p, tx, ty, tile_size, counts=counts) * cot)
 
     def loss_r(p):
         return jnp.sum(pr.composite_tiles_reference(p, tx, ty, tile_size) * cot)
@@ -95,6 +110,11 @@ def check_composite(rng):
     bwd_err = float(jnp.max(jnp.abs(g_p - g_r))) / scale
     print(f"composite bwd  max rel err    = {bwd_err:.3e} (scale {scale:.2e})")
     assert bwd_err < 5e-5, "backward parity failed"
+
+    g_c = jax.jit(jax.grad(loss_c))(packed)
+    cnt_bwd = float(jnp.max(jnp.abs(g_c - g_p)))
+    print(f"composite bwd counts-bounded  = {cnt_bwd:.3e} (must be 0)")
+    assert cnt_bwd == 0.0, "counts-bounded backward changed the gradient"
 
 
 def check_pack_gather(rng):

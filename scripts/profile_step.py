@@ -140,17 +140,18 @@ def main():
 
     packed = _pack_gather(feat, gidx_ext, b.slots_prim, b.slots_mid,
                           b.slots_big, b.mid_order, b.big_order, t_total * K)
+    counts = jnp.sum(b.gvalid, axis=1, dtype=jnp.int32)
 
-    # phase 4: composite kernel fwd
+    # phase 4: composite kernel fwd (counts-bounded — the production path)
     def f_comp(packed, i):
-        out = pr.composite_tiles(packed + 0.0 * i, 80, 45, 16)
+        out = pr.composite_tiles(packed + 0.0 * i, 80, 45, 16, counts=counts)
         return jnp.sum(out)
 
     bench_scan(f_comp, (packed,), name="composite kernel (fwd)")
 
     def f_comp_grad(packed, i):
         def loss(p):
-            return jnp.sum(pr.composite_tiles(p, 80, 45, 16))
+            return jnp.sum(pr.composite_tiles(p, 80, 45, 16, counts=counts))
         return jax.grad(loss)(packed + 0.0 * i).sum()
 
     bench_scan(f_comp_grad, (packed,), name="composite kernel (fwd+bwd)")

@@ -98,16 +98,25 @@ def _chunk_alpha(blk, px, py):
     return alpha, live, alpha_raw
 
 
-def _forward_kernel(packed_ref, out_ref, tstart_ref, *, k: int, tx: int,
-                    tile_size: int, tiles_per_block: int):
+def _forward_kernel(packed_ref, counts_ref, out_ref, tstart_ref, *, k: int,
+                    tx: int, tile_size: int, tiles_per_block: int):
     for b in range(tiles_per_block):
-        _forward_one(packed_ref, out_ref, tstart_ref, b,
+        _forward_one(packed_ref, counts_ref, out_ref, tstart_ref, b,
                      pl.program_id(0) * tiles_per_block + b, k, tx, tile_size)
 
 
-def _forward_one(packed_ref, out_ref, tstart_ref, b, tile_id, k, tx, tile_size):
+def _forward_one(packed_ref, counts_ref, out_ref, tstart_ref, b, tile_id, k,
+                 tx, tile_size):
     px, py = _pixel_coords(tile_id, tx, tile_size)
     n_chunks = k // CHUNK
+    # Bound the sweep by this tile's REAL pair count: per-tile occupancy is a
+    # contiguous prefix of the K slots (binning), and slots past it are the
+    # zero sentinel row (alpha exactly 0), so skipping whole sentinel chunks
+    # is a no-op on the output — ~30% of all chunk work at the bench
+    # workload. The post-loop tstart zeroing makes the backward skip them
+    # identically. counts rides whole in SMEM (Mosaic only blocks rank-1
+    # arrays at 128-multiples), indexed by the absolute tile id.
+    n_lim = jnp.minimum((counts_ref[tile_id] + CHUNK - 1) // CHUNK, n_chunks)
 
     def body(carry):
         c, accum, depth_acc, trans = carry
@@ -131,7 +140,7 @@ def _forward_one(packed_ref, out_ref, tstart_ref, b, tile_id, k, tx, tile_size):
 
     def cond(carry):
         c, _, _, trans = carry
-        return (c < n_chunks) & (jnp.max(trans) > TERM_THRESHOLD)
+        return (c < n_lim) & (jnp.max(trans) > TERM_THRESHOLD)
 
     init = (
         jnp.int32(0),
@@ -280,10 +289,21 @@ def _bwd_chunk(packed_ref, dpacked_ref, b, c, t_start, suffix, px, py,
     return suffix + jnp.sum(we, axis=0, keepdims=True)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
-def composite_tiles(packed: jnp.ndarray, tx: int, ty: int, tile_size: int):
-    """packed (T, K, 16) -> (T, 8, 256): rows 0-2 rgb, 3 alpha, 4 depth."""
-    return _composite_fwd_impl(packed, tx, ty, tile_size)[0]
+def composite_tiles(packed: jnp.ndarray, tx: int, ty: int, tile_size: int,
+                    counts: jnp.ndarray = None):
+    """packed (16, T, K) -> (T, 8, 256): rows 0-2 rgb, 3 alpha, 4 depth.
+
+    counts (T,) int32: per-tile REAL pair count (binning run lengths); slots
+    past it must be the zero sentinel row. Omitted -> every tile sweeps all
+    K slots (same output, no sentinel-chunk skipping)."""
+    if counts is None:
+        counts = jnp.full((packed.shape[1],), packed.shape[2], jnp.int32)
+    return _composite_tiles_counted(packed, counts, tx, ty, tile_size)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _composite_tiles_counted(packed, counts, tx, ty, tile_size):
+    return _composite_fwd_impl(packed, counts, tx, ty, tile_size)[0]
 
 
 def _pad_tiles(arr, axis: int, t_total: int):
@@ -296,11 +316,12 @@ def _pad_tiles(arr, axis: int, t_total: int):
     return jnp.pad(arr, widths), t_total + pad
 
 
-def _composite_fwd_impl(packed, tx, ty, tile_size):
+def _composite_fwd_impl(packed, counts, tx, ty, tile_size):
     """Returns (out (T,8,P), tstart (T_pad, n_chunks*P)) — tstart keeps its
     tile padding so the backward can reuse it without re-padding."""
     _, t_total, k = packed.shape
     packed, t_pad = _pad_tiles(packed, 1, t_total)
+    counts, _ = _pad_tiles(counts.astype(jnp.int32), 0, t_total)
     tb = 8
     kernel = functools.partial(_forward_kernel, k=k, tx=tx, tile_size=tile_size,
                                tiles_per_block=tb)
@@ -310,6 +331,7 @@ def _composite_fwd_impl(packed, tx, ty, tile_size):
         in_specs=[
             pl.BlockSpec((C_PACK, tb, k), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=[
             pl.BlockSpec((tb, 8, P), lambda i: (i, 0, 0),
@@ -321,12 +343,12 @@ def _composite_fwd_impl(packed, tx, ty, tile_size):
             jax.ShapeDtypeStruct((t_pad, 8, P), jnp.float32),
             jax.ShapeDtypeStruct((t_pad, (k // CHUNK) * P), jnp.float32),
         ],
-    )(packed)
+    )(packed, counts)
     return out[:t_total], tstart
 
 
-def _composite_fwd(packed, tx, ty, tile_size):
-    out, tstart = _composite_fwd_impl(packed, tx, ty, tile_size)
+def _composite_fwd(packed, counts, tx, ty, tile_size):
+    out, tstart = _composite_fwd_impl(packed, counts, tx, ty, tile_size)
     return out, (packed, tstart, out)
 
 
@@ -356,10 +378,12 @@ def _composite_bwd(tx, ty, tile_size, res, gout):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((C_PACK, t_pad, k), jnp.float32),
     )(packed, gout, tstart)
-    return (dpacked[:, :t_total, :],)
+    # counts cotangent is None (integer metadata; sentinel chunks the forward
+    # skipped get their zero gradient from the backward's tstart==0 branch)
+    return (dpacked[:, :t_total, :], None)
 
 
-composite_tiles.defvjp(_composite_fwd, _composite_bwd)
+_composite_tiles_counted.defvjp(_composite_fwd, _composite_bwd)
 
 
 def composite_tiles_reference(packed: jnp.ndarray, tx: int, ty: int,

@@ -513,7 +513,9 @@ def rasterize(
 
     use_pallas = backend == "pallas" or (backend == "auto" and _use_pallas())
     if use_pallas:
-        out8 = pr.composite_tiles(packed, tx, ty, tile_size)
+        # per-tile run lengths let the kernel skip whole sentinel chunks
+        counts = jnp.sum(b.gvalid, axis=1, dtype=jnp.int32)
+        out8 = pr.composite_tiles(packed, tx, ty, tile_size, counts=counts)
     else:
         out8 = pr.composite_tiles_reference(packed, tx, ty, tile_size)
 
