@@ -226,10 +226,11 @@ def bench_mini_pipeline() -> dict:
 
 def bench_fast_preset() -> dict:
     """North-star benchmark at fast-preset scale: a 150-frame 720p orbit
-    capture rendered from a known splat, through the REAL run_job path (SfM +
-    5K-step training + exports). Reports wall-clock and held-out PSNR next to
-    the reference's fast-preset envelope (A10G: 20-30 min incl. SfM,
-    GETTING_STARTED.md:168 / BASELINE.md). Run manually:
+    capture rendered by the CPU textured-MESH renderer (an oracle independent
+    of the repo's gaussian rasterizer — core/meshrender.py), through the REAL
+    run_job path (SfM + 5K-step training + exports). Reports wall-clock and
+    held-out PSNR next to the reference's fast-preset envelope (A10G:
+    20-30 min incl. SfM, GETTING_STARTED.md:168 / BASELINE.md). Run manually:
         python bench.py --preset fast
     The result is persisted to FAST_PRESET.json and surfaced in the default
     bench output so the driver's BENCH_r{N} picks it up without re-running the
@@ -237,57 +238,20 @@ def bench_fast_preset() -> dict:
     import shutil
     import tempfile
 
-    import cv2
-    import jax.numpy as jnp
-
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from tests.test_sfm_e2e import make_textured_scene
+    from scripts.render_fast_preset_capture import N_FRAMES, render_capture
     from tpu_splat.cli.generate_splat import build_job_json
     from tpu_splat.core.config import job_config_from_json
-    from tpu_splat.core.types import Cameras
-    from tpu_splat.gs.render import render_cloud
     from tpu_splat.pipeline.runner import run_job
 
-    rng = np.random.default_rng(7)
-    W, H = 1280, 720
-    FX = 1050.0
-    n = 150
-    cloud = make_textured_scene(rng, n_gauss=12000)
-    mats = []
-    for ang in np.linspace(0, 2 * np.pi, n, endpoint=False):  # full orbit
-        eye = np.array([4.0 * np.cos(ang), 0.6, 4.0 * np.sin(ang)])
-        z = -eye / np.linalg.norm(eye)
-        up = np.array([0.0, -1.0, 0.0])
-        x = np.cross(up, z); x /= np.linalg.norm(x)
-        y = np.cross(z, x)
-        w2c = np.eye(4, dtype=np.float32)
-        w2c[:3, :3] = np.stack([x, y, z])
-        w2c[:3, 3] = -w2c[:3, :3] @ eye
-        mats.append(w2c)
-    viewmats = np.stack(mats)
-    cams = Cameras(
-        camtoworlds=jnp.asarray(np.linalg.inv(viewmats)),
-        fx=jnp.full((n,), FX), fy=jnp.full((n,), FX),
-        cx=jnp.full((n,), W / 2), cy=jnp.full((n,), H / 2),
-        distortion=jnp.zeros((n, 4)), width=W, height=H,
-    )
+    n = N_FRAMES
     # The GT capture is deterministic (fixed seed/cameras), so it is rendered
-    # once into a cache dir and reused — rendering 150 frames at 720p is the
-    # expensive setup, and `scripts/render_fast_preset_capture.py` can
-    # pre-render it on CPU while the TPU is busy elsewhere.
+    # once into a cache dir and reused (~4 min of CPU when cold).
     img_dir = os.environ.get("FAST_PRESET_CAPTURE",
                              "/tmp/tpu_splat_fast_capture/images")
-    if len([f for f in os.listdir(img_dir)] if os.path.isdir(img_dir)
-           else []) != n:
-        os.makedirs(img_dir, exist_ok=True)
-        for i in range(n):
-            img = np.asarray(render_cloud(cloud, cams, i,
-                                          background=jnp.full(3, 0.7),
-                                          max_per_tile=256).color)
-            cv2.imwrite(os.path.join(img_dir, f"frame_{i:04d}.png"),
-                        (np.clip(img[..., ::-1], 0, 1) * 255).astype(np.uint8))
-            if i % 25 == 0:
-                print(f"rendered {i}/{n} GT frames", file=sys.stderr, flush=True)
+    if len(os.listdir(img_dir) if os.path.isdir(img_dir) else []) != n:
+        render_capture(img_dir,
+                       log=lambda s: print(s, file=sys.stderr, flush=True))
 
     work = tempfile.mkdtemp(prefix="tpu_splat_fast_bench_")
     job = build_job_json(img_dir, output_path=os.path.join(work, "out"),
@@ -319,7 +283,11 @@ def bench_fast_preset() -> dict:
     return out
 
 
-def _tpu_reachable(timeout_s: float = 150.0) -> bool:
+def _tpu_reachable(timeout_s: float = 420.0) -> bool:
+    # Fresh-process device init through the tunnel measures ~55 s healthy but
+    # has been seen past 150 s under host load — the cap only needs to beat
+    # "hangs forever", so keep it generous (a 7-min probe on a dead tunnel is
+    # cheaper than a falsely-skipped bench).
     """Probe the accelerator in a SUBPROCESS with a hard timeout: the axon
     tunnel, when down, hangs jax device init forever — without this guard a
     dead tunnel turns the whole bench (and the driver that runs it) into a

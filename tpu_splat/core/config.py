@@ -64,7 +64,10 @@ class PosePriorConfig:
 class SfMConfig:
     enable: bool = True
     software_name: str = "native"  # native/colmap = incremental, glomap/global = rotation+position averaging
-    enable_enhanced_feature_extraction: bool = True
+    # default matches the reference's user-facing job default
+    # (generate_splat.py:67: "false"); at high resolutions the 2x upsample
+    # quadruples extraction cost/memory for little registration gain
+    enable_enhanced_feature_extraction: bool = False
     matching_method: str = "sequential"  # sequential | spatial | vocab | exhaustive
     pose_priors: PosePriorConfig = field(default_factory=PosePriorConfig)
     # Auto-switch to exhaustive matching below this image count (main.py:1017-1032).
@@ -218,7 +221,7 @@ def job_config_from_json(payload: dict | str) -> JobConfig:
             enable=_as_bool(sfm.get("enable"), True),
             software_name=str(sfm.get("softwareName") or "native"),
             enable_enhanced_feature_extraction=_as_bool(
-                sfm.get("enableEnhancedFeatureExtraction"), True
+                sfm.get("enableEnhancedFeatureExtraction"), False
             ),
             matching_method=str(sfm.get("matchingMethod") or "sequential"),
             refine_intrinsics_per_camera=_as_bool(

@@ -59,18 +59,25 @@ def _gaussian_kernel1d(sigma: float) -> np.ndarray:
 
 
 def _blur(img: jnp.ndarray, sigma: float) -> jnp.ndarray:
-    """Separable gaussian blur of (H, W) image."""
-    k = jnp.asarray(_gaussian_kernel1d(sigma))
-    r = k.shape[0] // 2
+    """Separable gaussian blur of (H, W) image, as static-slice weighted sums.
+
+    NOT a conv: a single-channel conv_general_dilated puts C=1 on the TPU's
+    128-lane axis — XLA padded the 112 MB octave-0 pyramid buffer to 14 GB
+    (measured OOM at 720p x 8 frames). The tap loop is unrolled at trace
+    time (kernels are static); each tap is one full-width VPU multiply-add
+    with no layout hazards."""
+    k = _gaussian_kernel1d(sigma)
+    r = len(k) // 2
+    h, w = img.shape
     x = jnp.pad(img, ((r, r), (0, 0)), mode="edge")
-    x = jax.lax.conv_general_dilated(
-        x[None, None], k[None, None, :, None], (1, 1), "VALID"
-    )[0, 0]
-    x = jnp.pad(x, ((0, 0), (r, r)), mode="edge")
-    x = jax.lax.conv_general_dilated(
-        x[None, None], k[None, None, None, :], (1, 1), "VALID"
-    )[0, 0]
-    return x
+    out = jnp.zeros_like(img)
+    for i, wt in enumerate(k):
+        out = out + wt * jax.lax.slice(x, (i, 0), (i + h, w))
+    x = jnp.pad(out, ((0, 0), (r, r)), mode="edge")
+    out = jnp.zeros_like(img)
+    for i, wt in enumerate(k):
+        out = out + wt * jax.lax.slice(x, (0, i), (h, i + w))
+    return out
 
 
 def _local_extrema(dog: jnp.ndarray) -> jnp.ndarray:
@@ -103,25 +110,31 @@ def _edge_response_ok(dog_s: jnp.ndarray, edge_threshold: float) -> jnp.ndarray:
     return (det > 0) & (tr * tr * r < (r + 1) ** 2 * det)
 
 
-def _bilinear3(stack: jnp.ndarray, s: jnp.ndarray, x: jnp.ndarray,
+def _bilinear3(stack: jnp.ndarray, h: int, s: jnp.ndarray, x: jnp.ndarray,
                y: jnp.ndarray) -> jnp.ndarray:
-    """Bilinear sample of stack[s] at float coords (clamped).
+    """Bilinear sample of level s (height h) of a ROW-FLATTENED (S*H, W)
+    stack at float coords (clamped).
 
-    stack is (S, H, W) with s a (traced) scalar level index: indexing the
-    level INSIDE the gather keeps the whole pyramid out of the per-keypoint
-    batch — `stack[s][y, x]` under vmap materializes (K, S, H, W), which at
-    640px/2048 keypoints is a 20 GB broadcast (real OOM on TPU)."""
-    h, w = stack.shape[1], stack.shape[2]
+    Two shape lessons are baked in here. (1) Indexing the level INSIDE the
+    gather keeps the whole pyramid out of the per-keypoint batch —
+    `stack[s][y, x]` under vmap materializes (K, S, H, W), a 20 GB broadcast
+    at 640px/2048 keypoints. (2) The stack must be pre-flattened to 2-D by
+    the caller: as a (B, S, H, W) gather operand XLA assigned the SMALL dims
+    (B, S) as the minor (lane/sublane) axes, padding 675 MB of gradients to
+    14 GB (measured OOM at 720p x 8 frames); with (B, S*H, W) the minor dims
+    are large and padding is trivial."""
+    w = stack.shape[-1]
     x = jnp.clip(x, 0.0, w - 1.001)
     y = jnp.clip(y, 0.0, h - 1.001)
     x0 = jnp.floor(x).astype(jnp.int32)
     y0 = jnp.floor(y).astype(jnp.int32)
     fx = x - x0
     fy = y - y0
-    v00 = stack[s, y0, x0]
-    v01 = stack[s, y0, x0 + 1]
-    v10 = stack[s, y0 + 1, x0]
-    v11 = stack[s, y0 + 1, x0 + 1]
+    r0 = s * h + y0
+    v00 = stack[r0, x0]
+    v01 = stack[r0, x0 + 1]
+    v10 = stack[r0 + 1, x0]
+    v11 = stack[r0 + 1, x0 + 1]
     return (
         v00 * (1 - fx) * (1 - fy)
         + v01 * fx * (1 - fy)
@@ -130,15 +143,15 @@ def _bilinear3(stack: jnp.ndarray, s: jnp.ndarray, x: jnp.ndarray,
     )
 
 
-def _keypoint_orientation(gxs, gys, si, x, y, sigma):
+def _keypoint_orientation(gxs, gys, h, si, x, y, sigma):
     """Dominant gradient orientation in a gaussian-weighted window (36 bins)."""
     radius = 3.0 * sigma  # window radius in pixels (at this octave's resolution)
     grid = jnp.linspace(-1.0, 1.0, 9)  # 9x9 samples over the window
     ox, oy = jnp.meshgrid(grid * radius, grid * radius)
     sx = x + ox.reshape(-1)
     sy = y + oy.reshape(-1)
-    mag_x = _bilinear3(gxs, si, sx, sy)
-    mag_y = _bilinear3(gys, si, sx, sy)
+    mag_x = _bilinear3(gxs, h, si, sx, sy)
+    mag_y = _bilinear3(gys, h, si, sx, sy)
     mag = jnp.sqrt(mag_x**2 + mag_y**2)
     ang = jnp.arctan2(mag_y, mag_x)  # [-pi, pi]
     wgt = jnp.exp(-(ox.reshape(-1) ** 2 + oy.reshape(-1) ** 2) / (2 * (1.5 * sigma) ** 2))
@@ -156,7 +169,7 @@ def _keypoint_orientation(gxs, gys, si, x, y, sigma):
     return theta
 
 
-def _descriptor(gxs, gys, si, x, y, sigma, theta):
+def _descriptor(gxs, gys, h, si, x, y, sigma, theta):
     """128-d SIFT descriptor: 4x4 spatial cells x 8 orientation bins."""
     d = 4  # spatial bins
     n_ori = 8
@@ -168,8 +181,8 @@ def _descriptor(gxs, gys, si, x, y, sigma, theta):
     cos_t, sin_t = jnp.cos(theta), jnp.sin(theta)
     sx = x + (cos_t * u - sin_t * v).reshape(-1) * hist_width
     sy = y + (sin_t * u + cos_t * v).reshape(-1) * hist_width
-    gxv = _bilinear3(gxs, si, sx, sy)
-    gyv = _bilinear3(gys, si, sx, sy)
+    gxv = _bilinear3(gxs, h, si, sx, sy)
+    gyv = _bilinear3(gys, h, si, sx, sy)
     mag = jnp.sqrt(gxv**2 + gyv**2)
     ang = jnp.arctan2(gyv, gxv) - theta
     wgt = jnp.exp(-(u.reshape(-1) ** 2 + v.reshape(-1) ** 2) / (2 * (d / 2) ** 2))
@@ -291,31 +304,34 @@ def extract_features(
     octs, sidx = octs[sel], sidx[sel]
 
     # Precompute gradient stacks ONCE per octave (outside the keypoint vmap);
-    # per-keypoint work is then only small bilinear gathers into them.
+    # per-keypoint work is then only small bilinear gathers into them. The
+    # stacks are flattened to (S*H, W) so the gather operand's minor axes are
+    # the LARGE dims — see _bilinear3's layout note.
     grad_stacks = []
     for gauss in gauss_stacks:
         gx = (jnp.roll(gauss, -1, 2) - jnp.roll(gauss, 1, 2)) * 0.5
         gy = (jnp.roll(gauss, -1, 1) - jnp.roll(gauss, 1, 1)) * 0.5
-        grad_stacks.append((gx, gy))
+        oh, ow = gauss.shape[1], gauss.shape[2]
+        grad_stacks.append((gx.reshape(-1, ow), gy.reshape(-1, ow), oh))
 
     def per_keypoint(xi, yi, sigi, octi, si, ok):
         def on_octave(o):
-            gxs, gys = grad_stacks[o]
+            gxs, gys, oh = grad_stacks[o]
             octave_scale = base_scale * (2.0**o)
             # coords at octave resolution
             lx = (xi + 0.5) / octave_scale - 0.5
             ly = (yi + 0.5) / octave_scale - 0.5
             lsig = sigi / octave_scale
-            theta = _keypoint_orientation(gxs, gys, si, lx, ly, lsig)
+            theta = _keypoint_orientation(gxs, gys, oh, si, lx, ly, lsig)
             if cfg.dsp:
                 descs = [
-                    _descriptor(gxs, gys, si, lx, ly, lsig * f, theta)
+                    _descriptor(gxs, gys, oh, si, lx, ly, lsig * f, theta)
                     for f in (0.75, 1.0, 1.5)
                 ]
                 desc = sum(descs) / 3.0
                 desc = desc / jnp.maximum(jnp.linalg.norm(desc), 1e-8)
             else:
-                desc = _descriptor(gxs, gys, si, lx, ly, lsig, theta)
+                desc = _descriptor(gxs, gys, oh, si, lx, ly, lsig, theta)
             return theta, desc
 
         # Evaluate against every octave and select the right small output —
