@@ -67,9 +67,22 @@ class JobStore:
             return json.load(f)
 
 
+def _enable_compile_cache():
+    """Persistent XLA compile cache: through the remote-compile tunnel a cold
+    720p pipeline costs 10+ minutes of compiles; cached re-runs are free.
+    Idempotent, a no-op if the user already configured one."""
+    import jax
+
+    if jax.config.jax_compilation_cache_dir is None:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def run_job(cfg: JobConfig, log_fn=None) -> JobResult:
     """Execute a reconstruction job end to end. Returns the JobResult; raises
     PipelineError with a taxonomy code on failure (after recording it)."""
+    _enable_compile_cache()
     cfg.validate()
     out_dir = os.path.abspath(cfg.output_path)
     os.makedirs(out_dir, exist_ok=True)

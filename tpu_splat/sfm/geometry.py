@@ -68,11 +68,24 @@ def triangulate_dlt(P1: jnp.ndarray, P2: jnp.ndarray, x1: jnp.ndarray,
             u2[0] * P2[2] - P2[0],
             u2[1] * P2[2] - P2[1],
         ])
-        _, _, vt = jnp.linalg.svd(A)
-        X = vt[-1]
+        X = _smallest_right_vector4(A)
         return X[:3] / jnp.where(jnp.abs(X[3]) < 1e-12, 1e-12, X[3])
 
     return jax.vmap(solve_one)(x1, x2)
+
+
+def _smallest_right_vector4(A: jnp.ndarray) -> jnp.ndarray:
+    """Null-ish vector of a (R, 4) DLT system: smallest eigenvector of A^T A.
+
+    NOT jnp.linalg.svd: XLA lowers batched tall-skinny SVDs through a QR
+    custom call whose scoped-VMEM allocation scales with the vmap batch —
+    a (32768, 16, 4) retriangulation batch exceeded the 16 MB scoped limit
+    on v5e (hard compile error). eigh on the 4x4 Gram matrix computes the
+    same vector (squared conditioning is harmless at triangulation scales)
+    with a tiny fixed footprint."""
+    gram = A.T @ A
+    _, v = jnp.linalg.eigh(gram)
+    return v[:, 0]
 
 
 def triangulate_multiview(Ps: jnp.ndarray, xs: jnp.ndarray,
@@ -85,9 +98,7 @@ def triangulate_multiview(Ps: jnp.ndarray, xs: jnp.ndarray,
     A = jnp.concatenate([rows_a, rows_b], axis=0)  # (2V, 4)
     w = jnp.concatenate([valid, valid], axis=0).astype(A.dtype)[:, None]
     A = A * w
-    # smallest eigenvector of A^T A
-    _, _, vt = jnp.linalg.svd(A, full_matrices=False)
-    X = vt[-1]
+    X = _smallest_right_vector4(A)
     return X[:3] / jnp.where(jnp.abs(X[3]) < 1e-12, 1e-12, X[3])
 
 
