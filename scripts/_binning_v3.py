@@ -201,5 +201,12 @@ def tile_gaussians_v3(means2d, depths, radii, width, height, tile_size,
     slots_prim = slot[:n1a].reshape(2, n).T  # (N, 2): tier0 + tier1a
     slots_mid = slot[n1a:n1b].reshape(k_mid, 2)
     slots_big = slot[n1b:].reshape(k_big, m2)
-    return Binning(gidx, gvalid, slots_prim, slots_mid, slots_big,
-                   mid_order, big_order, mid_overflow)
+    # Adapt to the v4 Binning (split big4/big8 classes): present v3's single
+    # big class as big8 with an EMPTY big4 — the extended-row layouts then
+    # coincide (big rows at n.., mid rows at n+k_big..), so v3 binnings keep
+    # flowing through the v4 _pack_gather unchanged for A/B comparisons.
+    empty_i = jnp.zeros((0,), jnp.int32)
+    return Binning(gidx, gvalid, slots_prim, slots_mid,
+                   jnp.zeros((0, 16), jnp.int32), slots_big,
+                   mid_order, empty_i, big_order, mid_overflow,
+                   jnp.int32(0))

@@ -202,7 +202,8 @@ def part_b():
         return (jnp.sum(b.gidx.astype(jnp.float32))
                 + jnp.sum(b.slots_prim.astype(jnp.float32))
                 + jnp.sum(b.slots_mid.astype(jnp.float32))
-                + jnp.sum(b.slots_big.astype(jnp.float32)))
+                + jnp.sum(b.slots_big4.astype(jnp.float32))
+                + jnp.sum(b.slots_big8.astype(jnp.float32)))
 
     bench(f_cur, (proj.means2d, proj.depths, radii, opac),
           name="tile_gaussians CURRENT (w/ opacities)")
@@ -215,7 +216,8 @@ def part_b():
         return (jnp.sum(b.gidx.astype(jnp.float32))
                 + jnp.sum(b.slots_prim.astype(jnp.float32))
                 + jnp.sum(b.slots_mid.astype(jnp.float32))
-                + jnp.sum(b.slots_big.astype(jnp.float32)))
+                + jnp.sum(b.slots_big4.astype(jnp.float32))
+                + jnp.sum(b.slots_big8.astype(jnp.float32)))
 
     bench(f_v3, (proj.means2d, proj.depths, radii, opac),
           name="tile_gaussians V3 (no top_k, 2-key small)")
@@ -235,20 +237,20 @@ def part_c():
         [proj.means2d, proj.conics, jnp.ones((capacity, 3), jnp.float32) * 0.3,
          opac[:, None], proj.depths[:, None],
          jnp.zeros((capacity, pr.C_PACK - 10))], axis=-1)
-    sent = capacity + b.big_order.shape[0] + b.mid_order.shape[0]
+    sent = capacity + b.big4_order.shape[0] + b.big8_order.shape[0] + b.mid_order.shape[0]
     gidx_ext = jnp.where(b.gvalid, b.gidx, sent)
 
     def f_pack(feat, i):
         packed = _pack_gather(feat + 0.0 * i, gidx_ext, b.slots_prim,
-                              b.slots_mid, b.slots_big, b.mid_order,
-                              b.big_order, t_total * K)
+                              b.slots_mid, b.slots_big4, b.slots_big8, b.mid_order,
+                              b.big4_order, b.big8_order, t_total * K)
         return jnp.sum(packed)
 
     bench(f_pack, (feat,), name="pack fwd CURRENT (full)")
 
     # pieces: the bf16 encode+concat table build, the raw row gather, the
     # transpose+decode — to see which dominates the 13.8ms.
-    n_ext = capacity + b.big_order.shape[0] + b.mid_order.shape[0] + 1
+    n_ext = capacity + b.big4_order.shape[0] + b.big8_order.shape[0] + b.mid_order.shape[0] + 1
 
     def build_enc(feat):
         f16 = feat.astype(jnp.bfloat16)
@@ -256,7 +258,7 @@ def part_c():
         enc = jnp.concatenate(
             [f16[:, 0:2], lo, f16[:, 2:10], jnp.zeros_like(f16[:, :4])], axis=1)
         return jnp.concatenate(
-            [enc, enc[b.big_order], enc[b.mid_order], jnp.zeros_like(enc[:1])],
+            [enc, enc[b.big4_order], enc[b.big8_order], enc[b.mid_order], jnp.zeros_like(enc[:1])],
             axis=0)
 
     def f_enc(feat, i):
@@ -315,7 +317,7 @@ def part_c2():
         [proj.means2d, proj.conics, jnp.ones((capacity, 3), jnp.float32) * 0.3,
          opac[:, None], proj.depths[:, None],
          jnp.zeros((capacity, pr.C_PACK - 10))], axis=-1)
-    sent = capacity + b.big_order.shape[0] + b.mid_order.shape[0]
+    sent = capacity + b.big4_order.shape[0] + b.big8_order.shape[0] + b.mid_order.shape[0]
     gidx_ext = jnp.where(b.gvalid, b.gidx, sent)
     t, k = gidx_ext.shape
 
@@ -325,7 +327,7 @@ def part_c2():
         enc = jnp.concatenate(
             [f16[:, 0:2], lo, f16[:, 2:10], jnp.zeros_like(f16[:, :4])], axis=1)
         enc_ext = jnp.concatenate(
-            [enc, enc[b.big_order], enc[b.mid_order], jnp.zeros_like(enc[:1])],
+            [enc, enc[b.big4_order], enc[b.big8_order], enc[b.mid_order], jnp.zeros_like(enc[:1])],
             axis=0)
         if barrier:
             enc_ext = jax.lax.optimization_barrier(enc_ext)
@@ -367,7 +369,7 @@ def part_c3():
         [proj.means2d, proj.conics, jnp.ones((capacity, 3), jnp.float32) * 0.3,
          opac[:, None], proj.depths[:, None],
          jnp.zeros((capacity, pr.C_PACK - 10))], axis=-1)
-    sent = capacity + b.big_order.shape[0] + b.mid_order.shape[0]
+    sent = capacity + b.big4_order.shape[0] + b.big8_order.shape[0] + b.mid_order.shape[0]
     gidx_ext = jnp.where(b.gvalid, b.gidx, sent)
     t, k = gidx_ext.shape
     flat_idx = gidx_ext.reshape(-1)
@@ -378,7 +380,7 @@ def part_c3():
         enc = jnp.concatenate(
             [f16[:, 0:2], lo, f16[:, 2:10], jnp.zeros_like(f16[:, :4])], axis=1)
         return jax.lax.optimization_barrier(jnp.concatenate(
-            [enc, enc[b.big_order], enc[b.mid_order], jnp.zeros_like(enc[:1])],
+            [enc, enc[b.big4_order], enc[b.big8_order], enc[b.mid_order], jnp.zeros_like(enc[:1])],
             axis=0))
 
     def f_g_mat(feat, i):

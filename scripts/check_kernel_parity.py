@@ -136,19 +136,19 @@ def check_pack_gather(rng):
     )(means2d, depths, radii)
     t_total = b.gidx.shape[0]
     feat = jnp.asarray(rng.standard_normal((n, pr.C_PACK)), jnp.float32)
-    sent = n + b.big_order.shape[0] + b.mid_order.shape[0]
+    sent = n + b.big4_order.shape[0] + b.big8_order.shape[0] + b.mid_order.shape[0]
     gidx_ext = jnp.where(b.gvalid, b.gidx, sent)
     cot = jnp.asarray(
         rng.standard_normal((pr.C_PACK, t_total, k)), jnp.float32)
 
     def loss_custom(f):
         return jnp.sum(
-            _pack_gather(f, gidx_ext, b.slots_prim, b.slots_mid, b.slots_big,
-                         b.mid_order, b.big_order, t_total * k) * cot)
+            _pack_gather(f, gidx_ext, b.slots_prim, b.slots_mid, b.slots_big4, b.slots_big8,
+                         b.mid_order, b.big4_order, b.big8_order, t_total * k) * cot)
 
     def loss_ref(f):
         f_ext = jnp.concatenate(
-            [f, f[b.big_order], f[b.mid_order], jnp.zeros_like(f[:1])], 0)
+            [f, f[b.big4_order], f[b.big8_order], f[b.mid_order], jnp.zeros_like(f[:1])], 0)
         packed = f_ext[gidx_ext.reshape(-1)].T.reshape(pr.C_PACK, t_total, k)
         return jnp.sum(packed * cot)
 

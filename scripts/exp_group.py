@@ -103,7 +103,8 @@ def main():
         b = tile_gaussians(m2d_ + 0.0 * i, depths_, r_, width, height, 16, K)
         return (jnp.sum(b.gidx.astype(jnp.float32))
                 + jnp.sum(b.slots_prim.astype(jnp.float32))
-                + jnp.sum(b.slots_big.astype(jnp.float32)))
+                + jnp.sum(b.slots_big4.astype(jnp.float32))
+                + jnp.sum(b.slots_big8.astype(jnp.float32)))
 
     bench_scan(f_bin16, (m2d, depths, radii), name="binning tile16 K512")
 
@@ -119,12 +120,12 @@ def main():
     t_total = b16.gidx.shape[0]
     gidx_ext = jnp.where(
         b16.gvalid, b16.gidx,
-        capacity + b16.big_order.shape[0] + b16.mid_order.shape[0])
+        capacity + b16.big4_order.shape[0] + b16.big8_order.shape[0] + b16.mid_order.shape[0])
 
     def f_pack16(feat_, i):
         packed = _pack_gather(feat_ + 0.0 * i, gidx_ext, b16.slots_prim,
-                              b16.slots_mid, b16.slots_big, b16.mid_order,
-                              b16.big_order, t_total * K)
+                              b16.slots_mid, b16.slots_big4, b16.slots_big8, b16.mid_order,
+                              b16.big4_order, b16.big8_order, t_total * K)
         return jnp.sum(packed)
 
     bench_scan(f_pack16, (feat,), name="pack fwd tile16 K512")
@@ -133,12 +134,12 @@ def main():
     g_total = b32.gidx.shape[0]
     gidx_ext2 = jnp.where(
         b32.gvalid, b32.gidx,
-        capacity + b32.big_order.shape[0] + b32.mid_order.shape[0])
+        capacity + b32.big4_order.shape[0] + b32.big8_order.shape[0] + b32.mid_order.shape[0])
 
     def f_pack32(feat_, i):
         packed = _pack_gather(feat_ + 0.0 * i, gidx_ext2, b32.slots_prim,
-                              b32.slots_mid, b32.slots_big, b32.mid_order,
-                              b32.big_order, g_total * 2 * K)
+                              b32.slots_mid, b32.slots_big4, b32.slots_big8, b32.mid_order,
+                              b32.big4_order, b32.big8_order, g_total * 2 * K)
         return jnp.sum(packed)
 
     bench_scan(f_pack32, (feat,), name=f"pack fwd group32 K1024 ({g_total} groups)")
@@ -146,8 +147,8 @@ def main():
     def f_pack32_grad(feat_, i):
         def loss(f_):
             return jnp.sum(_pack_gather(f_, gidx_ext2, b32.slots_prim,
-                                        b32.slots_mid, b32.slots_big,
-                                        b32.mid_order, b32.big_order,
+                                        b32.slots_mid, b32.slots_big4, b32.slots_big8,
+                                        b32.mid_order, b32.big4_order, b32.big8_order,
                                         g_total * 2 * K))
         return jax.grad(loss)(feat_ + 0.0 * i).sum()
 

@@ -106,7 +106,8 @@ def main():
         return (jnp.sum(b.gidx.astype(jnp.float32))
                 + jnp.sum(b.slots_prim.astype(jnp.float32))
                 + jnp.sum(b.slots_mid.astype(jnp.float32))
-                + jnp.sum(b.slots_big.astype(jnp.float32)))
+                + jnp.sum(b.slots_big4.astype(jnp.float32))
+                + jnp.sum(b.slots_big8.astype(jnp.float32)))
 
     bench_scan(f_bin, (proj.means2d, proj.depths, radii), name="binning (sorts)")
 
@@ -116,14 +117,14 @@ def main():
     feat = jnp.concatenate(
         [proj.means2d, proj.conics, params["sh0"], params["opacities"][:, None],
          proj.depths[:, None], jnp.zeros((capacity, pr.C_PACK - 10))], axis=-1)
-    sent = capacity + b.big_order.shape[0] + b.mid_order.shape[0]
+    sent = capacity + b.big4_order.shape[0] + b.big8_order.shape[0] + b.mid_order.shape[0]
     gidx_ext = jnp.where(b.gvalid, b.gidx, sent)
 
     # phase 3: pack gather fwd
     def f_pack(feat, i):
         packed = _pack_gather(feat + 0.0 * i, gidx_ext, b.slots_prim,
-                             b.slots_mid, b.slots_big, b.mid_order,
-                             b.big_order, t_total * K)
+                             b.slots_mid, b.slots_big4, b.slots_big8, b.mid_order,
+                             b.big4_order, b.big8_order, t_total * K)
         return jnp.sum(packed)
 
     bench_scan(f_pack, (feat,), name="pack gather (fwd)")
@@ -132,14 +133,14 @@ def main():
     def f_pack_grad(feat, i):
         def loss(f):
             return jnp.sum(_pack_gather(f, gidx_ext, b.slots_prim, b.slots_mid,
-                                 b.slots_big, b.mid_order, b.big_order,
+                                 b.slots_big4, b.slots_big8, b.mid_order, b.big4_order, b.big8_order,
                                  t_total * K))
         return jax.grad(loss)(feat + 0.0 * i).sum()
 
     bench_scan(f_pack_grad, (feat,), name="pack gather (fwd+bwd)")
 
     packed = _pack_gather(feat, gidx_ext, b.slots_prim, b.slots_mid,
-                          b.slots_big, b.mid_order, b.big_order, t_total * K)
+                          b.slots_big4, b.slots_big8, b.mid_order, b.big4_order, b.big8_order, t_total * K)
     counts = jnp.sum(b.gvalid, axis=1, dtype=jnp.int32)
 
     # phase 4: composite kernel fwd (counts-bounded — the production path)

@@ -237,19 +237,22 @@ class TestPackGatherVJP:
         b = tile_gaussians(means2d, depths, radii, width, height, 16, k)
         t_total = b.gidx.shape[0]
         feat = jnp.asarray(rng.standard_normal((n, 16)), jnp.float32)
-        sent = n + b.big_order.shape[0] + b.mid_order.shape[0]
+        sent = (n + b.big4_order.shape[0] + b.big8_order.shape[0]
+                + b.mid_order.shape[0])
         gidx_ext = jnp.where(b.gvalid, b.gidx, sent)
         cot = jnp.asarray(rng.standard_normal((16, t_total, k)), jnp.float32)
 
         def loss_custom(f):
             return jnp.sum(
                 _pack_gather(f, gidx_ext, b.slots_prim, b.slots_mid,
-                             b.slots_big, b.mid_order, b.big_order,
+                             b.slots_big4, b.slots_big8, b.mid_order,
+                             b.big4_order, b.big8_order,
                              t_total * k) * cot)
 
         def loss_ref(f):
             f_ext = jnp.concatenate(
-                [f, f[b.big_order], f[b.mid_order], jnp.zeros_like(f[:1])], 0)
+                [f, f[b.big4_order], f[b.big8_order], f[b.mid_order],
+                 jnp.zeros_like(f[:1])], 0)
             packed = f_ext[gidx_ext.reshape(-1)].T.reshape(16, t_total, k)
             return jnp.sum(packed * cot)
 
@@ -261,7 +264,8 @@ class TestPackGatherVJP:
         # forward values stay finite under the bf16 encode/decode
         p = np.asarray(
             _pack_gather(feat, gidx_ext, b.slots_prim, b.slots_mid,
-                         b.slots_big, b.mid_order, b.big_order, t_total * k))
+                         b.slots_big4, b.slots_big8, b.mid_order,
+                         b.big4_order, b.big8_order, t_total * k))
         assert np.isfinite(p).all()
 
 
@@ -289,7 +293,8 @@ class TestTierOverflow:
         # every valid gaussian still appears at least once (primary cell for
         # smalls / overflow mids, center tile for overflow bigs) ...
         ext = np.concatenate(
-            [np.arange(n), np.asarray(b.big_order), np.asarray(b.mid_order)])
+            [np.arange(n), np.asarray(b.big4_order),
+             np.asarray(b.big8_order), np.asarray(b.mid_order)])
         seen = np.zeros(n, bool)
         gidx, gvalid = np.asarray(b.gidx), np.asarray(b.gvalid)
         seen[ext[gidx[gvalid]]] = True
@@ -348,10 +353,11 @@ class TestCircleCull:
         assert not (gvalid.sum(1) == k).any(), "test needs no K overflow"
         assert int(b.mid_overflow) == 0
         # tier-1/2 entries ride as EXTENDED ids past n (the pack gather
-        # appends feat[big_order] then feat[mid_order] rows) — translate
-        # back to original indices
+        # appends feat[big4_order], feat[big8_order], then feat[mid_order]
+        # rows) — translate back to original indices
         ext = np.concatenate(
-            [np.arange(n), np.asarray(b.big_order), np.asarray(b.mid_order)])
+            [np.arange(n), np.asarray(b.big4_order),
+             np.asarray(b.big8_order), np.asarray(b.mid_order)])
         kept = [set(ext[gidx[t][gvalid[t]]]) for t in range(tx * ty)]
         n_culled = 0
         for g in range(n):

@@ -421,3 +421,27 @@ def test_sfm_model_export_artifacts(tmp_path):
         data = _json.load(f)
     assert len(data["frames"]) == n
     assert data["frames"][0]["file_path"].endswith("img_0.png")
+
+
+def test_pipeline_log_bridge_forwards_and_restores():
+    """Component internals log through logging.getLogger("tpu_splat.pipeline");
+    run_job must forward those records to its log_fn (or a long SfM looks
+    hung — no progress line survived the default WARNING root config) and
+    restore the logger state afterward."""
+    import logging
+
+    from tpu_splat.pipeline.runner import _bridge_pipeline_logs
+
+    lg = logging.getLogger("tpu_splat.pipeline")
+    before = (lg.level, lg.propagate, list(lg.handlers))
+    lines = []
+    with _bridge_pipeline_logs(lines.append):
+        lg.info("features: 10 images")
+        lg.debug("too detailed")      # below INFO: not forwarded
+    lg.info("after the block")        # bridge removed: not forwarded
+    assert lines == ["features: 10 images"]
+    assert (lg.level, lg.propagate, list(lg.handlers)) == before
+    # no-op path
+    with _bridge_pipeline_logs(None):
+        lg.info("nothing to catch")
+    assert lines == ["features: 10 images"]

@@ -49,10 +49,13 @@ class Binning(NamedTuple):
     gvalid: jnp.ndarray       # (T, K) bool
     slots_prim: jnp.ndarray   # (N, 2) int32 tier-0 + tier-1a inverse slots
     slots_mid: jnp.ndarray    # (K_mid, 2) int32 tier-1b inverse slots
-    slots_big: jnp.ndarray    # (K_big, m2) int32 tier-2 inverse slots
-    mid_order: jnp.ndarray    # (K_mid,) int32 original ids of tier 1
-    big_order: jnp.ndarray    # (K_big,) int32 original ids of tier 2
+    slots_big4: jnp.ndarray   # (K_big4, 16) int32 tier-2a inverse slots
+    slots_big8: jnp.ndarray   # (K_big8, 64) int32 tier-2b inverse slots
+    mid_order: jnp.ndarray    # (K_mid,) int32 original ids of tier 1b
+    big4_order: jnp.ndarray   # (K_big4,) int32 original ids of tier 2a
+    big8_order: jnp.ndarray   # (K_big8,) int32 original ids of tier 2b
     mid_overflow: jnp.ndarray  # () int32 diagnostic
+    big_overflow: jnp.ndarray  # () int32 diagnostic (tier-2a + 2b overflow)
 
 
 def _ceil_div(a: int, b: int) -> int:
@@ -79,7 +82,8 @@ def tile_gaussians(
       slots_*:    inverse maps pair -> flat packed slot (T*K sentinel when
                   dropped), used for the gather-based gradient of packing.
       mid_order:  (K_mid,) original indices of the 2x2 multi-cell tier.
-      big_order:  (K_big,) original indices of the large-coverage tier.
+      big4_order/big8_order: original indices of the two large-coverage
+                  size classes (spans 3-4 tiles / 5-8 tiles).
       mid_overflow: scalar int32, gaussians that needed tier 1 but were
                   beyond its capacity (diagnostic; 0 on healthy workloads).
 
@@ -96,8 +100,12 @@ def tile_gaussians(
                so there is no selection pass and no appended pack rows.
       tier 1b: corner-crossers (3-4 live cells) compacted by cumsum+scatter
                into K_mid slots; 2 extra keys each (3rd + 4th cell).
-      tier 2 : large-coverage gaussians compacted by cumsum+scatter into
-               K_big slots; full MAX_COVER grid each.
+      tier 2a: large gaussians spanning <= 4x4 tiles (the common big case)
+               compacted into K_big4 slots; 4x4 grid each.
+      tier 2b: the rest (spans 5-8 tiles) compacted into K_big8 slots; full
+               MAX_COVER 8x8 grid each. Splitting 2a off 2b quarters the
+               tier-2 sort keys — a 3x3 gaussian on the 8x8 grid was 55
+               sentinels riding the sort for 9 live cells.
     Sentinel keys ride the sort (~2N of them), but one u32 sort scales far
     better than the three top_k selections it replaces (measured 26 -> 18 ms
     at 512K/720p). Keys pack (tile_id << shift | depth_rank) into one uint32
@@ -194,17 +202,37 @@ def tile_gaussians(
         return ((y0 + c // 2) * tx + (x0 + c % 2)).astype(jnp.uint32)
 
     # Big compaction: cumsum + one tiny scatter (a top_k over N costs a full
-    # sort; this is two orders cheaper). Order within the big set is
-    # irrelevant — the slots_big/feat[big_order] mapping is internally
-    # consistent either way.
-    k_big = min(max(n // 64, 512), n)
-    pos_b = jnp.cumsum(big.astype(jnp.int32)) - 1
-    big_count = pos_b[-1] + 1
-    slot_b = jnp.where(big & (pos_b < k_big), pos_b, k_big)
-    big_order = jnp.zeros((k_big + 1,), jnp.int32).at[slot_b].set(
-        jnp.arange(n, dtype=jnp.int32), mode="drop")[:k_big]
-    is_big_slot = jnp.arange(k_big) < big_count
-    big_unsel = big & (pos_b >= k_big)
+    # sort; this is two orders cheaper). Order within each big set is
+    # irrelevant — the slots/feat[order] mapping is internally consistent
+    # either way. Bigs split into two SIZE CLASSES so the common case (span
+    # 3-4 tiles) emits a 4x4 grid instead of the full 8x8 — at production
+    # loads most tier-2 keys were sentinels from 3x3-4x4 gaussians riding a
+    # 64-cell grid, and sentinel keys cost sort bytes (the binning
+    # bottleneck).
+    def _compact(mask, k):
+        pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
+        count = pos[-1] + 1
+        slot = jnp.where(mask & (pos < k), pos, k)
+        order = jnp.zeros((k + 1,), jnp.int32).at[slot].set(
+            jnp.arange(n, dtype=jnp.int32), mode="drop")[:k]
+        is_slot = jnp.arange(k) < count
+        return order, is_slot, mask & (pos >= k), count
+
+    big4 = big & (x1 - x0 <= 3) & (y1 - y0 <= 3)
+    big8 = big & ~((x1 - x0 <= 3) & (y1 - y0 <= 3))
+    # Generous floors: small-n maps (SfM init, early densification) have
+    # LARGE projected radii — nearest-neighbor-sized init gaussians — so the
+    # big fraction is highest exactly when n is smallest. A floor of 512
+    # center-tile-degraded ~75% of a 4K-gaussian init scene's bigs; floors
+    # this size cost <200K sort keys, invisible next to the ~2n primary keys
+    # at production n.
+    k_big4 = min(max(n // 64, 4096), n)
+    k_big8 = min(max(n // 256, 2048), n)
+    big4_order, is_big4_slot, unsel4, count4 = _compact(big4, k_big4)
+    big8_order, is_big8_slot, unsel8, count8 = _compact(big8, k_big8)
+    big_unsel = unsel4 | unsel8
+    big_overflow = (jnp.maximum(count4 - k_big4, 0)
+                    + jnp.maximum(count8 - k_big8, 0))
 
     # Tier 0: one key per gaussian. Smalls emit their first live 2x2 cell
     # (the cell holding the mean is always live, so every live small emits
@@ -259,26 +287,33 @@ def tile_gaussians(
                   (t4 << shift) | rank_mid, sentinel | rank_mid),
     ], axis=1).reshape(-1)
 
-    # Tier 2: full coverage grid for the compacted set of large gaussians.
-    m2 = MAX_COVER_X * MAX_COVER_Y
-    dx2 = jnp.arange(m2, dtype=jnp.int32) % MAX_COVER_X
-    dy2 = jnp.arange(m2, dtype=jnp.int32) // MAX_COVER_X
-    px2 = x0[big_order][:, None] + dx2[None, :]
-    py2 = y0[big_order][:, None] + dy2[None, :]
-    ok2 = (
-        is_big_slot[:, None]
-        & (px2 <= x1[big_order][:, None])
-        & (py2 <= y1[big_order][:, None])
-    )
-    ok2 &= ~tile_miss(means2d[big_order][:, None, 0],
-                      means2d[big_order][:, None, 1],
-                      radii_cull[big_order][:, None], px2, py2)
-    rank_big = rank_u[big_order]
-    tile2 = (py2 * tx + px2).astype(jnp.uint32)
-    keys2 = jnp.where(ok2, (tile2 << shift) | rank_big[:, None],
-                      sentinel | rank_big[:, None]).reshape(-1)
+    # Tier 2: coverage-grid keys for the compacted large-gaussian classes
+    # (4x4 grid for spans <= 4, the full 8x8 for the rest).
+    def _grid_keys(order, is_slot, gw, gh):
+        m = gw * gh
+        dxg = jnp.arange(m, dtype=jnp.int32) % gw
+        dyg = jnp.arange(m, dtype=jnp.int32) // gw
+        pxg = x0[order][:, None] + dxg[None, :]
+        pyg = y0[order][:, None] + dyg[None, :]
+        ok = (
+            is_slot[:, None]
+            & (pxg <= x1[order][:, None])
+            & (pyg <= y1[order][:, None])
+        )
+        ok &= ~tile_miss(means2d[order][:, None, 0],
+                         means2d[order][:, None, 1],
+                         radii_cull[order][:, None], pxg, pyg)
+        rk = rank_u[order]
+        tileg = (pyg * tx + pxg).astype(jnp.uint32)
+        return jnp.where(ok, (tileg << shift) | rk[:, None],
+                         sentinel | rk[:, None]).reshape(-1)
 
-    keys = jnp.concatenate([keys0, keys1a, keys1b, keys2])
+    m2a = 16
+    m2 = MAX_COVER_X * MAX_COVER_Y
+    keys2a = _grid_keys(big4_order, is_big4_slot, 4, 4)
+    keys2b = _grid_keys(big8_order, is_big8_slot, MAX_COVER_X, MAX_COVER_Y)
+
+    keys = jnp.concatenate([keys0, keys1a, keys1b, keys2a, keys2b])
     np_total = keys.shape[0]
     pair_ids = jnp.arange(np_total, dtype=jnp.int32)
     sorted_keys, sorted_pid = jax.lax.sort_key_val(keys, pair_ids)
@@ -286,10 +321,12 @@ def tile_gaussians(
     # The kernel-side gaussian id is pure arithmetic on the sorted pair id —
     # tier-0 AND tier-1a pairs map to the ORIGINAL id (pid, pid - n), tier
     # 1b/2 pairs to EXTENDED ids past n (the pack gather appends
-    # feat[big_order] then feat[mid_order] rows after the originals), so no
-    # gid payload rides the sort and no order-table gather happens.
+    # feat[big4_order], feat[big8_order], then feat[mid_order] rows after
+    # the originals), so no gid payload rides the sort and no order-table
+    # gather happens.
     n1a = 2 * n
     n1b = n1a + 2 * k_mid
+    n2a = n1b + m2a * k_big4
     sorted_gid = jnp.where(
         sorted_pid < n,
         sorted_pid,
@@ -298,8 +335,12 @@ def tile_gaussians(
             sorted_pid - n,
             jnp.where(
                 sorted_pid < n1b,
-                n + k_big + (sorted_pid - n1a) // 2,
-                n + (sorted_pid - n1b) // m2,
+                n + k_big4 + k_big8 + (sorted_pid - n1a) // 2,
+                jnp.where(
+                    sorted_pid < n2a,
+                    n + (sorted_pid - n1b) // m2a,
+                    n + k_big4 + (sorted_pid - n2a) // m2,
+                ),
             ),
         ),
     ).astype(jnp.int32)
@@ -341,12 +382,15 @@ def tile_gaussians(
     _, slot = jax.lax.sort_key_val(sorted_pid, slot_sorted)
     # Tiers 0 and 1a both address ORIGINAL rows, so they share the (N, 2)
     # primary route (sentinel slots route to the zero row in the gradient
-    # gather); tier 1b gets its own (K_mid, 2) table over mid_order rows.
+    # gather); tier 1b gets its own (K_mid, 2) table over mid_order rows,
+    # tiers 2a/2b their (K_big4, 16) / (K_big8, 64) tables.
     slots_prim = slot[:n1a].reshape(2, n).T
     slots_mid = slot[n1a:n1b].reshape(k_mid, 2)
-    slots_big = slot[n1b:].reshape(-1, m2)
-    return Binning(gidx, gvalid, slots_prim, slots_mid, slots_big,
-                   mid_order, big_order, mid_overflow)
+    slots_big4 = slot[n1b:n2a].reshape(k_big4, m2a)
+    slots_big8 = slot[n2a:].reshape(k_big8, m2)
+    return Binning(gidx, gvalid, slots_prim, slots_mid, slots_big4,
+                   slots_big8, mid_order, big4_order, big8_order,
+                   mid_overflow, big_overflow)
 
 
 def _use_pallas() -> bool:
@@ -365,14 +409,14 @@ def pack_quantization(means2d, conics, colors, opacities, depths):
     return m2d, deq(conics), deq(colors), deq(opacities), deq(depths)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
-def _pack_gather(feat, gidx_ext, slots_prim, slots_mid, slots_big,
-                 mid_order, big_order, tk: int):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9,))
+def _pack_gather(feat, gidx_ext, slots_prim, slots_mid, slots_big4,
+                 slots_big8, mid_order, big4_order, big8_order, tk: int):
     """Gather feature rows into channel-major (16, T, K) tile blocks.
 
-    The source table is [feat; feat[big_order]; feat[mid_order]; zero
-    sentinel] — tier-1/2 pair ids address the appended copies so the binning
-    sort needs no gaussian-id payload.
+    The source table is [feat; feat[big4_order]; feat[big8_order];
+    feat[mid_order]; zero sentinel] — tier-1/2 pair ids address the appended
+    copies so the binning sort needs no gaussian-id payload.
     Channel-major keeps K on the 128-lane axis — a trailing dim of 16
     wastes 7/8 of HBM bandwidth on every DMA. The custom VJP turns the gradient
     scatter-add (slow on TPU) into gathers via the precomputed inverse slot
@@ -395,7 +439,8 @@ def _pack_gather(feat, gidx_ext, slots_prim, slots_mid, slots_big,
         [f16[:, 0:2], lo, f16[:, 2:10], jnp.zeros_like(f16[:, :4])], axis=1
     )
     enc_ext = jnp.concatenate(
-        [enc, enc[big_order], enc[mid_order], jnp.zeros_like(enc[:1])], axis=0
+        [enc, enc[big4_order], enc[big8_order], enc[mid_order],
+         jnp.zeros_like(enc[:1])], axis=0
     )
     t, k = gidx_ext.shape
     g = enc_ext[gidx_ext.reshape(-1)].T.reshape(feat.shape[1], t, k)
@@ -407,15 +452,17 @@ def _pack_gather(feat, gidx_ext, slots_prim, slots_mid, slots_big,
     )
 
 
-def _pack_gather_fwd(feat, gidx_ext, slots_prim, slots_mid, slots_big,
-                     mid_order, big_order, tk):
-    out = _pack_gather(feat, gidx_ext, slots_prim, slots_mid, slots_big,
-                       mid_order, big_order, tk)
-    return out, (slots_prim, slots_mid, slots_big, mid_order, big_order)
+def _pack_gather_fwd(feat, gidx_ext, slots_prim, slots_mid, slots_big4,
+                     slots_big8, mid_order, big4_order, big8_order, tk):
+    out = _pack_gather(feat, gidx_ext, slots_prim, slots_mid, slots_big4,
+                       slots_big8, mid_order, big4_order, big8_order, tk)
+    return out, (slots_prim, slots_mid, slots_big4, slots_big8,
+                 mid_order, big4_order, big8_order)
 
 
 def _pack_gather_bwd(tk, res, d_packed):
-    slots_prim, slots_mid, slots_big, mid_order, big_order = res
+    (slots_prim, slots_mid, slots_big4, slots_big8,
+     mid_order, big4_order, big8_order) = res
     c = d_packed.shape[0]
     tk8 = tk // 8
     # A (TK, C) row table pads C=16 lanes to 128 in HBM (8x the bytes, ~54ms
@@ -451,9 +498,10 @@ def _pack_gather_bwd(tk, res, d_packed):
         )
 
     d_feat = route(slots_prim)
-    d_feat = d_feat.at[big_order].add(route(slots_big))
+    d_feat = d_feat.at[big4_order].add(route(slots_big4))
+    d_feat = d_feat.at[big8_order].add(route(slots_big8))
     d_feat = d_feat.at[mid_order].add(route(slots_mid))
-    return d_feat, None, None, None, None, None, None
+    return d_feat, None, None, None, None, None, None, None, None
 
 
 _pack_gather.defvjp(_pack_gather_fwd, _pack_gather_bwd)
@@ -504,11 +552,13 @@ def rasterize(
         axis=-1,
     )  # (N, 16)
     sentinel_row = (
-        feat.shape[0] + b.big_order.shape[0] + b.mid_order.shape[0]
+        feat.shape[0] + b.big4_order.shape[0] + b.big8_order.shape[0]
+        + b.mid_order.shape[0]
     )
     gidx_ext = jnp.where(b.gvalid, b.gidx, sentinel_row)
     packed = _pack_gather(feat, gidx_ext, b.slots_prim, b.slots_mid,
-                          b.slots_big, b.mid_order, b.big_order,
+                          b.slots_big4, b.slots_big8, b.mid_order,
+                          b.big4_order, b.big8_order,
                           t_total * max_per_tile)
 
     use_pallas = backend == "pallas" or (backend == "auto" and _use_pallas())

@@ -66,9 +66,13 @@ class Pipeline:
     log_fn: Optional[Callable[[str], None]] = None
 
     def log(self, msg: str):
-        logger.info(msg)
+        # log_fn when provided, ELSE the module logger: with both, a log_fn
+        # job would print every component line twice (run_job bridges the
+        # module logger back into log_fn for the components' internals).
         if self.log_fn:
             self.log_fn(msg)
+        else:
+            logger.info(msg)
 
     def create_component(
         self,

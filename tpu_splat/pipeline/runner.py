@@ -16,6 +16,7 @@ the delivered .ply keeps the reconstruction orientation).
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import time
@@ -79,6 +80,39 @@ def _enable_compile_cache():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
+@contextlib.contextmanager
+def _bridge_pipeline_logs(log_fn):
+    """Forward the "tpu_splat.pipeline" logger's INFO records to log_fn for
+    the duration of the block (no-op when log_fn is None). Restores the
+    logger's level/propagate on exit so a job without log_fn keeps whatever
+    logging config the host application set up."""
+    if log_fn is None:
+        yield
+        return
+    import logging
+
+    class _LogFnHandler(logging.Handler):
+        def emit(self, record):
+            try:
+                log_fn(record.getMessage())
+            except Exception:
+                pass
+
+    lg = logging.getLogger("tpu_splat.pipeline")
+    bridge = _LogFnHandler(level=logging.INFO)
+    prev_level, prev_propagate = lg.level, lg.propagate
+    lg.addHandler(bridge)
+    if lg.level > logging.INFO or lg.level == logging.NOTSET:
+        lg.setLevel(logging.INFO)
+    lg.propagate = False  # no double print when root has a handler
+    try:
+        yield
+    finally:
+        lg.removeHandler(bridge)
+        lg.setLevel(prev_level)
+        lg.propagate = prev_propagate
+
+
 def run_job(cfg: JobConfig, log_fn=None) -> JobResult:
     """Execute a reconstruction job end to end. Returns the JobResult; raises
     PipelineError with a taxonomy code on failure (after recording it)."""
@@ -94,7 +128,13 @@ def run_job(cfg: JobConfig, log_fn=None) -> JobResult:
 
     t0 = time.time()
     try:
-        ctx = pipe.run(PipelineContext(cfg=cfg, out_dir=out_dir))
+        # Component INTERNALS (mapper registrations, trainer milestones, ...)
+        # log through logging.getLogger("tpu_splat.pipeline") — bridge that
+        # logger to log_fn for the duration of the job, else a default
+        # logging config silently drops every progress line below WARNING
+        # and a long SfM looks hung.
+        with _bridge_pipeline_logs(log_fn):
+            ctx = pipe.run(PipelineContext(cfg=cfg, out_dir=out_dir))
     except PipelineError as e:
         store.update(cfg.uuid, status="Error", end=time.time(),
                      elapsed=time.time() - t0, error=str(e), code=e.code)
