@@ -20,7 +20,9 @@ Pipeline:
 
 from __future__ import annotations
 
+import contextlib
 import math
+import time
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Tuple
 
@@ -61,6 +63,11 @@ class MapperConfig:
     min_pnp_inliers: int = 12
     min_triangulation_angle_deg: float = 1.5
     ba_every: int = 3  # global BA after this many new registrations
+    # At scale the flat every-3 cadence is ~n/3 increasingly expensive global
+    # BAs (50 at the reference's 150-image fast preset); like COLMAP's
+    # ba_global_images_ratio, also require the model to have GROWN by this
+    # factor since the last global BA, which caps the count at O(log n).
+    ba_growth_ratio: float = 1.15
     ba_outer_iters: int = 10
     ba_cg_iters: int = 24
     max_reproj_error_px: float = 4.0
@@ -142,7 +149,21 @@ class IncrementalMapper:
         self.percam_fscale: Optional[np.ndarray] = None
         self.percam_pp: Optional[np.ndarray] = None
         self.log = log_fn or (lambda s: None)
-        self.key = jax.random.PRNGKey(cfg.seed)
+        # PRNG state is kept as NUMPY so the key follows whatever
+        # jax.default_device scope is active at use time (run_sfm runs the
+        # reconstruction phase on the host CPU backend; a device-committed
+        # key would drag every RANSAC back through the accelerator tunnel).
+        self.key = np.asarray(jax.random.PRNGKey(cfg.seed))
+        # The batched heavy stages (feature extraction, descriptor matching,
+        # guided wide-pair matching) stay pinned to the default platform's
+        # device — the accelerator when one is attached — even when called
+        # from inside the CPU-scoped reconstruction phase.
+        self._fast_dev = jax.devices()[0]
+        self._timers: Dict[str, float] = {}
+        self._tcounts: Dict[str, int] = {}
+        self._flat: Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]] = None
+        self._xy_all: Optional[np.ndarray] = None
+        self._last_ba_reg = 2
         self._attempts = np.zeros(self.n, np.int32)
         self._focal_refined_once = False
         # Quarantine for filtered observations: (img, tid) -> feat. Filtering
@@ -172,12 +193,98 @@ class IncrementalMapper:
         return E, np.asarray(inl), xap, xbp, m
 
     def _next_key(self):
-        self.key, sub = jax.random.split(self.key)
+        nxt, sub = jax.random.split(jnp.asarray(self.key))
+        self.key = np.asarray(nxt)
         return sub
+
+    # ---------- phase timers ----------
+
+    @contextlib.contextmanager
+    def _timed(self, name: str):
+        """Accumulate wall-clock per phase. At reference scale (150+ images)
+        the round-3 full run spent 3400s in SfM with zero sub-stage
+        visibility; every hot path charges a named bucket so long runs log
+        where the wall went."""
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            self._timers[name] = (self._timers.get(name, 0.0)
+                                  + time.perf_counter() - t0)
+            self._tcounts[name] = self._tcounts.get(name, 0) + 1
+
+    def _log_timers(self, tag: str):
+        if not self._timers:
+            return
+        top = sorted(self._timers.items(), key=lambda kv: -kv[1])
+        self.log(f"sfm timers [{tag}]: " + ", ".join(
+            f"{k} {v:.1f}s/{self._tcounts[k]}x" for k, v in top[:10]))
+
+    # ---------- vectorized observation store ----------
+    #
+    # self.tracks (list-of-lists) stays the source of truth for the
+    # sequential control flow, but every O(observations) numeric pass
+    # (BA gather, outlier filtering, retriangulation, readmission) runs on a
+    # flat (obs_img, obs_feat, obs_tid) numpy mirror. The per-observation
+    # Python loops these replace were the actual scale wall: at 150 images
+    # (~500K observations x ~40 BA rounds) they cost more than every jitted
+    # kernel combined. Invariant: within a track, the mirror's row order
+    # equals the track list order (filter deletes in place, readmit appends
+    # at the end on both sides); mutators that cannot cheaply preserve the
+    # invariant call _invalidate_obs() and the mirror is rebuilt lazily.
+
+    def _invalidate_obs(self):
+        self._flat = None
+
+    def _flat_obs(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        if self._flat is None:
+            counts = np.fromiter((len(t) for t in self.tracks), np.int64,
+                                 count=len(self.tracks))
+            total = int(counts.sum())
+            flat = np.empty((total, 2), np.int32)
+            if total:
+                flat_list = [o for t in self.tracks for o in t]
+                flat[:] = flat_list
+            obs_tid = np.repeat(
+                np.arange(len(self.tracks), dtype=np.int32), counts)
+            self._flat = (flat[:, 0].copy(), flat[:, 1].copy(), obs_tid)
+        return self._flat
+
+    def _xy_stack(self) -> np.ndarray:
+        """(N, K, 2) pixel keypoints across all images (rows beyond an
+        image's real keypoint count are garbage — only ever indexed through
+        valid (img, feat) observation pairs)."""
+        if self._xy_all is None:
+            ks = [int(f.xy.shape[0]) for f in self.feats]
+            kmax = max(ks)
+            xy = np.zeros((self.n, kmax, 2), np.float32)
+            for i, f in enumerate(self.feats):
+                xy[i, :ks[i]] = np.asarray(f.xy)
+            self._xy_all = xy
+        return self._xy_all
+
+    def _norm_coords_batch(self, imgs: np.ndarray,
+                           feats: np.ndarray) -> np.ndarray:
+        """Vectorized _norm_coords over (img, feat) observation arrays."""
+        xy = self._xy_stack()[imgs, feats]
+        uv = np.empty_like(xy, dtype=np.float32)
+        uv[:, 0] = (xy[:, 0] - self.cx) / self.fx
+        uv[:, 1] = (xy[:, 1] - self.cy) / self.fy
+        if self.k1 != 0.0:
+            xu = uv
+            for _ in range(3):
+                r2 = np.sum(xu * xu, axis=1, keepdims=True)
+                xu = uv / (1.0 + self.k1 * r2)
+            uv = xu.astype(np.float32)
+        return uv
 
     # ---------- stage 1: features ----------
 
     def extract_all(self):
+        with self._timed("extract"), jax.default_device(self._fast_dev):
+            self._extract_all_impl()
+
+    def _extract_all_impl(self):
         from tpu_splat.sfm.features import extract_features_batch
 
         gray = jax.vmap(rgb_to_gray)(jnp.asarray(self.images))
@@ -185,12 +292,21 @@ class IncrementalMapper:
         fb = jax.tree.map(np.asarray, fb)
         feats = [jax.tree.map(lambda a: a[i], fb) for i in range(self.n)]
         self.feats = feats
+        self._xy_all = None
         self.log(f"features: {self.n} images, "
                  f"{np.mean([f.valid.sum() for f in feats]):.0f} kps/image avg")
 
     # ---------- stage 2: matching + verification ----------
 
     def match_all(self):
+        # Pinned to the accelerator even when invoked from the CPU-scoped
+        # reconstruction phase (the focal-multistart rebuild re-matches):
+        # descriptor matching is dense batched matmul, exactly what the
+        # host CPU cannot do at 150-image scale.
+        with self._timed("match"), jax.default_device(self._fast_dev):
+            self._match_all_impl()
+
+    def _match_all_impl(self):
         cfg = self.cfg
         descs = np.stack([f.descriptor for f in self.feats])
         valids = np.stack([f.valid for f in self.feats])
@@ -314,23 +430,17 @@ class IncrementalMapper:
         triangulation, essential RANSAC, and BA all consume these, so the
         whole mapper consistently works in pinhole space and the estimated k1
         only ever lives here (and in the export)."""
-        xy = self.feats[img_idx].xy[feat_idx]
-        uv = np.stack(
-            [(xy[:, 0] - self.cx) / self.fx, (xy[:, 1] - self.cy) / self.fy], axis=1
-        ).astype(np.float32)
-        if self.k1 != 0.0:
-            # invert x_d = x (1 + k1 |x|^2): fixed-point from x = x_d —
-            # converges in 3 rounds for |k1| r^2 < 0.5 (any practical lens)
-            xu = uv
-            for _ in range(3):
-                r2 = np.sum(xu * xu, axis=1, keepdims=True)
-                xu = uv / (1.0 + self.k1 * r2)
-            uv = xu.astype(np.float32)
-        return uv
+        feat_idx = np.asarray(feat_idx)
+        return self._norm_coords_batch(
+            np.full(feat_idx.shape, img_idx, np.int32), feat_idx)
 
     # ---------- stage 3: tracks ----------
 
     def build_tracks(self):
+        with self._timed("tracks"):
+            self._build_tracks_impl()
+
+    def _build_tracks_impl(self):
         k = self.cfg.feature.max_features
         uf = _UnionFind(self.n * k)
         for (a, b), idx in self.pair_matches.items():
@@ -368,6 +478,7 @@ class IncrementalMapper:
             for img, feat in obs:
                 self.img_tracks[img][tid] = feat
                 self._feat_track[(img, feat)] = tid
+        self._invalidate_obs()
         self.log(f"tracks: {len(self.tracks)} "
                  f"(mean length {np.mean([len(t) for t in self.tracks]):.1f})")
 
@@ -648,7 +759,12 @@ class IncrementalMapper:
             self._triangulate_image_tracks([nxt])
             min_inliers = cfg.min_pnp_inliers  # rescue passes are one-shot
             since_ba += 1
-            if since_ba >= cfg.ba_every:
+            reg_now = int(self.registered.sum())
+            if reg_now % 25 == 0:
+                self._log_timers(f"{reg_now}/{self.n} registered")
+            ba_gap = max(cfg.ba_every,
+                         int(self._last_ba_reg * (cfg.ba_growth_ratio - 1.0)))
+            if since_ba >= ba_gap:
                 self._bundle_adjust()
                 self._filter_observations()
                 self._retriangulate()
@@ -773,6 +889,7 @@ class IncrementalMapper:
             self._dropped_obs = dict(dropped)
             self.pair_matches = dict(pm)
             self.pair_inliers = dict(pi)
+            self._invalidate_obs()
 
         pinhole = snapshot()
         # Basin trials: a single in-place fit from k1=0 cannot move — the
@@ -999,33 +1116,51 @@ class IncrementalMapper:
         """Drop individual track observations whose reprojection error exceeds the
         threshold (and kill points left with < 2 registered observations). The
         COLMAP-style post-BA cleanup that keeps outlier matches from pulling BA."""
+        with self._timed("filter"):
+            self._filter_observations_impl()
+
+    def _filter_observations_impl(self):
         max_err_n = self.cfg.max_reproj_error_px / self.fx
-        n_dropped = 0
-        for tid in np.nonzero(self.has_point)[0]:
-            kept = []
-            for img, feat in self.tracks[tid]:
-                if not self.registered[img]:
-                    kept.append((img, feat))
-                    continue
-                pc = self.R[img] @ self.points[tid] + self.t[img]
-                if pc[2] <= 1e-6:
-                    n_dropped += 1
-                    self._dropped_obs[(img, tid)] = feat
-                    self.img_tracks[img].pop(tid, None)
-                    continue
-                err = np.linalg.norm(
-                    pc[:2] / pc[2] - self._norm_coords(img, np.array([feat]))[0]
-                )
-                if err > max_err_n:
-                    n_dropped += 1
-                    self._dropped_obs[(img, tid)] = feat
-                    self.img_tracks[img].pop(tid, None)
-                    continue
-                kept.append((img, feat))
-            self.tracks[tid] = kept
-            n_reg = sum(self.registered[img] for img, _ in kept)
-            if n_reg < 2:
-                self.has_point[tid] = False
+        oi, of, ot = self._flat_obs()
+        judged = self.has_point[ot] & self.registered[oi]
+        idx = np.nonzero(judged)[0]
+        if len(idx):
+            ji, jf, jt = oi[idx], of[idx], ot[idx]
+            pc = np.einsum("nij,nj->ni", self.R[ji], self.points[jt]) \
+                + self.t[ji]
+            front = pc[:, 2] > 1e-6
+            z = np.where(front, pc[:, 2], 1.0)
+            err = np.linalg.norm(
+                pc[:, :2] / z[:, None] - self._norm_coords_batch(ji, jf),
+                axis=1)
+            bad = ~front | (err > max_err_n)
+        else:
+            bad = np.zeros(0, bool)
+        drop_rows = idx[bad]
+        n_dropped = len(drop_rows)
+        if n_dropped:
+            # quarantine + pop the per-image dicts (small python pass over
+            # the DROPPED set only), then rebuild the track lists of the
+            # affected tids and mask the mirror in place
+            affected: Dict[int, set] = {}
+            for r in drop_rows:
+                img, feat, tid = int(oi[r]), int(of[r]), int(ot[r])
+                self._dropped_obs[(img, tid)] = feat
+                self.img_tracks[img].pop(tid, None)
+                affected.setdefault(tid, set()).add((img, feat))
+            for tid, gone in affected.items():
+                self.tracks[tid] = [o for o in self.tracks[tid]
+                                    if o not in gone]
+            keep = np.ones(len(oi), bool)
+            keep[drop_rows] = False
+            self._flat = (oi[keep], of[keep], ot[keep])
+            oi, of, ot = self._flat
+        # kill points left with < 2 registered observations (judged tracks
+        # only — same contract as the per-track loop this replaces)
+        live = np.nonzero(self.has_point)[0]
+        reg_count = np.bincount(ot[self.registered[oi]],
+                                minlength=len(self.has_point))
+        self.has_point[live] = reg_count[live] >= 2
         if n_dropped:
             self.log(f"filter: dropped {n_dropped} observations")
 
@@ -1049,25 +1184,47 @@ class IncrementalMapper:
         multistart: obs dropped under the pinhole model sit BEYOND the normal
         threshold until the k1 fit explains them — Huber weighting in the
         subsequent BA keeps the moderately-off readmissions from pulling)."""
-        max_err_n = self.cfg.max_reproj_error_px * slack / self.fx
-        n_back = 0
-        for (img, tid), feat in list(self._dropped_obs.items()):
-            if not self.registered[img] or not self.has_point[tid]:
-                continue
-            pc = self.R[img] @ self.points[tid] + self.t[img]
-            if pc[2] <= 1e-6:
-                continue
-            err = np.linalg.norm(
-                pc[:2] / pc[2] - self._norm_coords(img, np.array([feat]))[0]
-            )
-            if err <= max_err_n:
-                self.tracks[tid].append((img, feat))
-                self.img_tracks[img][tid] = feat
-                del self._dropped_obs[(img, tid)]
-                n_back += 1
-        if n_back:
-            self.log(f"readmit: {n_back} observations restored")
-        return n_back
+        with self._timed("readmit"):
+            max_err_n = self.cfg.max_reproj_error_px * slack / self.fx
+            if not self._dropped_obs:
+                return 0
+            items = list(self._dropped_obs.items())
+            arr = np.fromiter(
+                (v for (img, tid), feat in items for v in (img, tid, feat)),
+                np.int64, count=3 * len(items)).reshape(-1, 3)
+            di, dt, df = arr[:, 0], arr[:, 1], arr[:, 2]
+            # tracks may have grown since an obs was quarantined
+            alive = self.registered[di] & self.has_point[dt]
+            cand = np.nonzero(alive)[0]
+            if len(cand):
+                ci, ct, cf = di[cand], dt[cand], df[cand]
+                pc = np.einsum("nij,nj->ni", self.R[ci], self.points[ct]) \
+                    + self.t[ci]
+                front = pc[:, 2] > 1e-6
+                z = np.where(front, pc[:, 2], 1.0)
+                err = np.linalg.norm(
+                    pc[:, :2] / z[:, None]
+                    - self._norm_coords_batch(ci, cf), axis=1)
+                back = cand[front & (err <= max_err_n)]
+            else:
+                back = np.zeros(0, np.int64)
+            n_back = len(back)
+            if n_back:
+                oi, of, ot = self._flat_obs()
+                for r in back:
+                    img, tid, feat = int(di[r]), int(dt[r]), int(df[r])
+                    self.tracks[tid].append((img, feat))
+                    self.img_tracks[img][tid] = feat
+                    del self._dropped_obs[(img, tid)]
+                # mirror invariant: readmits append at the track-list end AND
+                # at the mirror end, so per-track relative order stays equal
+                self._flat = (
+                    np.concatenate([oi, di[back].astype(np.int32)]),
+                    np.concatenate([of, df[back].astype(np.int32)]),
+                    np.concatenate([ot, dt[back].astype(np.int32)]),
+                )
+                self.log(f"readmit: {n_back} observations restored")
+            return n_back
 
     def _augment_wide_pairs(self, max_span: int = 8,
                             revisit: bool = False) -> int:
@@ -1081,6 +1238,11 @@ class IncrementalMapper:
         gated under the PINHOLE normalization, so the border matches that
         carry the k1 evidence never reached the track graph — re-gating under
         the k1 hypothesis is what admits them)."""
+        with self._timed("augment"), jax.default_device(self._fast_dev):
+            return self._augment_wide_pairs_impl(max_span, revisit)
+
+    def _augment_wide_pairs_impl(self, max_span: int = 8,
+                                 revisit: bool = False) -> int:
         from tpu_splat.sfm.matching import guided_match
 
         reg = np.nonzero(self.registered)[0]
@@ -1228,6 +1390,8 @@ class IncrementalMapper:
             self.has_point = np.concatenate(
                 [self.has_point, np.zeros(n_new, bool)]
             )
+        if n_links:
+            self._invalidate_obs()
         return n_links
 
     def _next_image(self, min_inliers: Optional[int] = None) -> Optional[int]:
@@ -1277,6 +1441,10 @@ class IncrementalMapper:
         """Best PnP pose of image i against the current map, WITHOUT mutating
         any mapper state. Returns (inlier_count, n_map_points, R, t), or None
         if the image sees too few live map points to pose at all."""
+        with self._timed("pnp"):
+            return self._pnp_solve_impl(i)
+
+    def _pnp_solve_impl(self, i: int):
         cfg = self.cfg
         tids = [tid for tid in self.img_tracks[i] if self.has_point[tid]]
         if len(tids) < 6:
@@ -1456,96 +1624,120 @@ class IncrementalMapper:
 
     def _triangulate_image_tracks(self, img_ids: List[int]):
         """(Re)triangulate tracks observed by the given images using all
-        registered observations (batched multi-view DLT)."""
+        registered observations (batched multi-view DLT). Candidate
+        selection, the (track, view) table build, and acceptance all run as
+        flat numpy passes over the observation mirror — the per-observation
+        Python version of this function dominated full-scale runs (a
+        retriangulation follows every BA round)."""
+        with self._timed("triangulate"):
+            self._triangulate_image_tracks_impl(img_ids)
+
+    def _triangulate_image_tracks_impl(self, img_ids: List[int]):
         cfg = self.cfg
-        cand = set()
-        for i in img_ids:
-            for tid in self.img_tracks[i]:
-                if not self.has_point[tid]:
-                    cand.add(tid)
-        cand = [
-            tid for tid in cand
-            if sum(self.registered[img] for img, _ in self.tracks[tid]) >= 2
-        ]
-        if not cand:
+        oi, of, ot = self._flat_obs()
+        n_tracks = len(self.tracks)
+        touched = np.zeros(n_tracks, bool)
+        img_sel = np.zeros(self.n, bool)
+        img_sel[np.asarray(img_ids, np.int64)] = True
+        touched[ot[img_sel[oi]]] = True
+        reg_obs = self.registered[oi]
+        reg_count = np.bincount(ot[reg_obs], minlength=n_tracks)
+        cand_mask = touched & (reg_count >= 2)
+        cand_mask[np.nonzero(self.has_point)[0]] = False
+        if not cand_mask.any():
             return
+        # registered observations of candidate tracks, grouped by track in
+        # track-list order (the mirror's order invariant), first 8 per track
+        sel = np.nonzero(cand_mask[ot] & reg_obs)[0]
+        order = np.argsort(ot[sel], kind="stable")
+        sel = sel[order]
+        ts = ot[sel]
+        first = np.empty(len(ts), bool)
+        first[0] = True
+        first[1:] = ts[1:] != ts[:-1]
+        row = np.cumsum(first) - 1
+        starts = np.nonzero(first)[0]
+        col = np.arange(len(ts)) - starts[row]
         max_views = 8
+        keep = col < max_views
+        sel, row, col, ts = sel[keep], row[keep], col[keep], ts[keep]
+        cand = np.unique(ts)  # row r <-> track cand[r]
+        n_cand = len(cand)
         # pow-2 row padding: the vmapped DLT otherwise compiles per candidate
         # count, i.e. on almost every registration (remote-compile latency)
-        rows_pad = _pad_pow2(len(cand), floor=512)
+        rows_pad = _pad_pow2(n_cand, floor=512)
         Ps = np.zeros((rows_pad, max_views, 3, 4), np.float32)
         xs = np.zeros((rows_pad, max_views, 2), np.float32)
         vs = np.zeros((rows_pad, max_views), bool)
-        for row, tid in enumerate(cand):
-            col = 0
-            for img, feat in self.tracks[tid]:
-                if not self.registered[img] or col >= max_views:
-                    continue
-                Ps[row, col, :, :3] = self.R[img]
-                Ps[row, col, :, 3] = self.t[img]
-                xs[row, col] = self._norm_coords(img, np.array([feat]))[0]
-                vs[row, col] = True
-                col += 1
+        imgs_o, feats_o = oi[sel], of[sel]
+        Ps[row, col, :, :3] = self.R[imgs_o]
+        Ps[row, col, :, 3] = self.t[imgs_o]
+        xs[row, col] = self._norm_coords_batch(imgs_o, feats_o)
+        vs[row, col] = True
         X = np.asarray(
             jax.vmap(triangulate_multiview)(
                 jnp.asarray(Ps), jnp.asarray(xs), jnp.asarray(vs)
             )
         )
         # acceptance: in front of all views, small reprojection error, parallax
-        ok = np.ones(len(cand), bool)
         max_err_n = cfg.max_reproj_error_px / self.fx
-        rays = []
-        for row, tid in enumerate(cand):
-            errs, centers = [], []
-            for col in range(max_views):
-                if not vs[row, col]:
-                    continue
-                R, t = Ps[row, col, :, :3], Ps[row, col, :, 3]
-                pc = R @ X[row] + t
-                if pc[2] <= 1e-6:
-                    ok[row] = False
-                    break
-                err = np.linalg.norm(pc[:2] / pc[2] - xs[row, col])
-                errs.append(err)
-                centers.append(-R.T @ t)
-            else:
-                if max(errs) > max_err_n:
-                    ok[row] = False
-                elif len(centers) >= 2:
-                    d1 = X[row] - centers[0]
-                    d2 = X[row] - centers[-1]
-                    cosang = d1 @ d2 / max(np.linalg.norm(d1) * np.linalg.norm(d2), 1e-12)
-                    ang = np.degrees(np.arccos(np.clip(cosang, -1, 1)))
-                    if ang < cfg.min_triangulation_angle_deg:
-                        ok[row] = False
-        for row, tid in enumerate(cand):
-            if ok[row]:
-                self.points[tid] = X[row]
-                self.has_point[tid] = True
+        pc = np.einsum("nij,nj->ni", self.R[imgs_o], X[row]) + self.t[imgs_o]
+        front = pc[:, 2] > 1e-6
+        z = np.where(front, pc[:, 2], 1.0)
+        err = np.linalg.norm(pc[:, :2] / z[:, None] - xs[row, col], axis=1)
+        ok = np.ones(n_cand, bool)
+        np.logical_and.at(ok, row, front)
+        max_err = np.zeros(n_cand, np.float32)
+        np.maximum.at(max_err, row, np.where(front, err, 0.0).astype(np.float32))
+        ok &= max_err <= max_err_n
+        # parallax between the FIRST and LAST used view of each row
+        # (observations are contiguous per row after the stable sort)
+        centers = -np.einsum("nji,nj->ni", self.R[imgs_o], self.t[imgs_o])
+        _, first_idx, nviews = np.unique(row, return_index=True,
+                                         return_counts=True)
+        last_idx = first_idx + nviews - 1
+        Xr = X[:n_cand]
+        d1 = Xr - centers[first_idx]
+        d2 = Xr - centers[last_idx]
+        denom = np.maximum(
+            np.linalg.norm(d1, axis=1) * np.linalg.norm(d2, axis=1), 1e-12)
+        cosang = np.clip(np.sum(d1 * d2, axis=1) / denom, -1.0, 1.0)
+        ang = np.degrees(np.arccos(cosang))
+        ok &= (nviews < 2) | (ang >= cfg.min_triangulation_angle_deg)
+        acc = cand[ok]
+        self.points[acc] = Xr[ok]
+        self.has_point[acc] = True
 
     def _gather_observations(self):
-        """Flatten (registered-image, live-track) observations into BA arrays."""
+        """Flatten (registered-image, live-track) observations into BA arrays
+        (one vectorized pass over the observation mirror; BA is order-
+        independent — it segment-sums by camera/point id)."""
         cam_ids = np.nonzero(self.registered)[0]
-        cam_map = {int(c): k for k, c in enumerate(cam_ids)}
         live = np.nonzero(self.has_point)[0]
-        pt_map = {int(p): k for k, p in enumerate(live)}
-        obs_cam, obs_pt, obs_uv = [], [], []
-        for tid in live:
-            for img, feat in self.tracks[tid]:
-                if not self.registered[img]:
-                    continue
-                obs_cam.append(cam_map[img])
-                obs_pt.append(pt_map[tid])
-                obs_uv.append(self._norm_coords(img, np.array([feat]))[0])
-        return cam_ids, live, np.array(obs_cam), np.array(obs_pt), np.array(obs_uv)
+        cam_map = np.full(self.n, -1, np.int32)
+        cam_map[cam_ids] = np.arange(len(cam_ids), dtype=np.int32)
+        pt_map = np.full(len(self.has_point), -1, np.int32)
+        pt_map[live] = np.arange(len(live), dtype=np.int32)
+        oi, of, ot = self._flat_obs()
+        sel = self.registered[oi] & self.has_point[ot]
+        oi, of, ot = oi[sel], of[sel], ot[sel]
+        return (cam_ids, live, cam_map[oi], pt_map[ot],
+                self._norm_coords_batch(oi, of))
 
     def _bundle_adjust(self, extended: bool = False,
                        force_focal: bool = False,
                        refine_k1: bool = False) -> Optional[float]:
         """One BA round over the current map. Returns the posterior
         reprojection rms in pixels (None if the map is too small to adjust)."""
+        with self._timed("ba_ext" if extended else "ba"):
+            return self._bundle_adjust_impl(extended, force_focal, refine_k1)
+
+    def _bundle_adjust_impl(self, extended: bool = False,
+                            force_focal: bool = False,
+                            refine_k1: bool = False) -> Optional[float]:
         if self.registered.sum() < 2 or self.has_point.sum() < 8:
             return None
+        self._last_ba_reg = int(self.registered.sum())
         cfg = self.cfg
         cam_ids, live, obs_cam, obs_pt, obs_uv = self._gather_observations()
         o = len(obs_cam)
@@ -1877,8 +2069,22 @@ def run_sfm(
                                   log_fn=log_fn)
             m.extract_all()
             m.match_all()
-        m.build_tracks()
-        scene = m.reconstruct()
+        # The reconstruction phase (PnP, triangulation, BA, filtering) is a
+        # long sequence of SMALL static-shape kernels driven by data-dependent
+        # host control flow — through the remote-accelerator tunnel it is
+        # dispatch-latency-bound, not compute-bound (measured r2: the 1-core
+        # host CPU beats the tunneled TPU 2.4x on it; r3's 150-image run
+        # spent 3400s mostly in tunnel round-trips + remote compiles). Run it
+        # on the local CPU backend; the genuinely batched dense stages
+        # (extraction, matching, wide-pair guided matching) stay pinned to
+        # the accelerator inside their own scopes.
+        ctx = contextlib.nullcontext()
+        if jax.default_backend() != "cpu":
+            ctx = jax.default_device(jax.local_devices(backend="cpu")[0])
+        with ctx:
+            m.build_tracks()
+            scene = m.reconstruct()
+        m._log_timers("done")
         if export_database is not None:
             # post-reconstruct: a focal-multistart restart rebuilds matches,
             # so the exported DB reflects the FINAL intrinsics' match sets
