@@ -230,3 +230,43 @@ def test_distributed_trainer_with_densify(dp_setup):
             assert bool(jnp.all(jnp.isfinite(v))), k
     # still sharded after refine
     assert "gauss" in tr.params["means"].sharding.spec
+
+
+def test_distributed_checkpoint_resume_through_refine(dp_setup, tmp_path):
+    """gsplat multi-GPU parity at full loop depth (VERDICT r4 #8): mesh
+    training through a densify boundary, sharded orbax save, restore into a
+    FRESH DistributedTrainer, then keep training — state must survive the
+    round trip (alive count, step counter, camera deltas) and stay sharded."""
+    from tpu_splat.gs.strategy import DensifyConfig
+    from tpu_splat.gs.trainer import TrainConfig
+    from tpu_splat.mesh.trainer import DistributedTrainer
+
+    params, images, viewmats, intrin, _ = dp_setup
+    cfg = TrainConfig(
+        max_steps=40, sh_degree=0, max_per_tile=128, random_background=False,
+        densify=DensifyConfig(refine_start=5, refine_stop=40, refine_every=5,
+                              grad_threshold=1e-6, reset_opacity_every=10**9),
+        eval_every=10**9, checkpoint_every=10,
+    )
+    mesh = make_mesh(n_data=4, n_gauss=2)
+    ckpt = str(tmp_path / "ckpts")
+    tr = DistributedTrainer(params, images, viewmats, intrin, scene_scale=2.0,
+                            cfg=cfg, mesh=mesh)
+    tr.checkpoint_dir = ckpt
+    tr.run(10)  # passes refine boundaries at 5 and 10, checkpoint at 10
+    alive_at_save = int(np.sum(np.asarray(tr.params["alive"])))
+    step_at_save = tr.step
+
+    tr2 = DistributedTrainer(params, images, viewmats, intrin, scene_scale=2.0,
+                             cfg=cfg, mesh=mesh)
+    tr2.load_checkpoint(ckpt)
+    assert tr2.step == step_at_save
+    assert int(np.sum(np.asarray(tr2.params["alive"]))) == alive_at_save
+    np.testing.assert_allclose(np.asarray(tr2.cam_deltas),
+                               np.asarray(tr.cam_deltas), atol=1e-7)
+    assert "gauss" in tr2.params["means"].sharding.spec, "restore lost sharding"
+    tr2.run(10)  # training continues through another refine after restore
+    assert tr2.step == step_at_save + 10
+    for k, v in tr2.params.items():
+        if v.dtype != bool:
+            assert bool(jnp.all(jnp.isfinite(v))), k

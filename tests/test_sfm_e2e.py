@@ -335,7 +335,7 @@ def distorted_capture():
 
     The ring scene is rendered OVERSIZED (288px) through an ideal pinhole
     camera, then resampled into 160px frames through the forward distortion
-    model (barrel k1=-0.15: corner keypoints shift ~11px outward after
+    model (barrel k1=-0.15: corner keypoints shift ~17px outward after
     undistortion — unabsorbable into focal/geometry, unlike the pinhole
     e2e captures where the k1 consensus is flat, scripts/exp_k1_sweep.py).
     This is the accepting-direction evidence VERDICT r3 asked for: the

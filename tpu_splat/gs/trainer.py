@@ -273,6 +273,96 @@ def train_step(
     return new_params, adam_state, dstate, metrics
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "width", "height", "active_sh_degree",
+                     "opt_cams", "has_masks"),
+)
+def train_steps_scan(
+    params: Params,
+    adam_state: AdamState,
+    dstate: DensifyState,
+    cam_deltas: jnp.ndarray,   # (M, 6)
+    cam_mu: jnp.ndarray,       # (M, 6)
+    cam_nu: jnp.ndarray,       # (M, 6)
+    key: jax.Array,
+    images_flat: jnp.ndarray,  # (M, H*W*3) device-staged training images
+    masks_flat: Optional[jnp.ndarray],  # (M, H*W) or a (1, 1) placeholder
+    viewmats: jnp.ndarray,     # (M, 4, 4)
+    intrinsics: jnp.ndarray,   # (M, 4)
+    views: jnp.ndarray,        # (S,) view index per step
+    step0: jnp.ndarray,        # scalar int32: global step of views[0]
+    scene_scale: float,
+    cfg: TrainConfig,
+    width: int,
+    height: int,
+    active_sh_degree: int,
+    opt_cams: bool,
+    has_masks: bool,
+):
+    """S chained train steps in ONE dispatch (lax.scan).
+
+    The per-step host loop pays a device round trip (plus a full image
+    upload) every iteration — through the remote TPU tunnel that floor is
+    ~100 ms/step, which capped the r4 fast-preset run at 5.8 it/s while the
+    same kernel benches 14 it/s device-bound. Images are staged in HBM once
+    as (M, H*W*3) rows (a flat minor dim — a (M,H,W,3) stack would put the
+    3-wide channel axis on the 128-lane dimension, see CLAUDE.md layout
+    notes) and gathered per step inside the scan. Host-side scheduling
+    (refine passes, opacity resets, SH ramp, eval/checkpoint) happens at
+    chunk boundaries — the Trainer sizes each scan so no host event falls
+    inside it. RNG: the key chain splits once per step, bit-identical to the
+    stepwise loop."""
+
+    def body(carry, xs):
+        params, adam, dstate, cam_deltas, cam_mu, cam_nu, key = carry
+        view, step = xs
+        key, sub = jax.random.split(key)
+        image = jax.lax.dynamic_index_in_dim(
+            images_flat, view, 0, keepdims=False
+        ).reshape(height, width, 3)
+        mask = None
+        if has_masks:
+            mask = jax.lax.dynamic_index_in_dim(
+                masks_flat, view, 0, keepdims=False
+            ).reshape(height, width)
+        if opt_cams:
+            params, adam, dstate, metrics, cam_grad = train_step(
+                params, adam, dstate, image, viewmats[view],
+                intrinsics[view], step, sub, scene_scale, cfg, width, height,
+                active_sh_degree, cam_delta=cam_deltas[view], mask=mask,
+            )
+            # Per-view camera Adam (mirrors Trainer._update_camera).
+            b1, b2, eps = 0.9, 0.999, 1e-8
+            mu = b1 * cam_mu[view] + (1 - b1) * cam_grad
+            nu = b2 * cam_nu[view] + (1 - b2) * cam_grad * cam_grad
+            t = jnp.maximum(step, 1).astype(jnp.float32)
+            step_v = (cfg.lr_camera * (mu / (1 - b1 ** t))
+                      / (jnp.sqrt(nu / (1 - b2 ** t)) + eps))
+            cam_mu = cam_mu.at[view].set(mu)
+            cam_nu = cam_nu.at[view].set(nu)
+            cam_deltas = cam_deltas.at[view].add(-step_v)
+        else:
+            params, adam, dstate, metrics = train_step(
+                params, adam, dstate, image, viewmats[view],
+                intrinsics[view], step, sub, scene_scale, cfg, width, height,
+                active_sh_degree, mask=mask,
+            )
+        return ((params, adam, dstate, cam_deltas, cam_mu, cam_nu, key),
+                (metrics["loss"], metrics["psnr"]))
+
+    n = views.shape[0]
+    steps = step0 + jnp.arange(n, dtype=jnp.int32)
+    carry, (losses, psnrs) = jax.lax.scan(
+        body,
+        (params, adam_state, dstate, cam_deltas, cam_mu, cam_nu, key),
+        (views, steps),
+    )
+    params, adam_state, dstate, cam_deltas, cam_mu, cam_nu, key = carry
+    return (params, adam_state, dstate, cam_deltas, cam_mu, cam_nu, key,
+            losses[-1], psnrs[-1])
+
+
 class Trainer:
     """Host-side training driver: camera sampling, refine scheduling, growth."""
 
@@ -307,14 +397,90 @@ class Trainer:
         self._cam_mu = jnp.zeros((n_views, 6))
         self._cam_nu = jnp.zeros((n_views, 6))
         self.checkpoint_dir: Optional[str] = None
+        # Device-staged training data for the scan path (built lazily in run).
+        self._images_flat: Optional[jnp.ndarray] = None
+        self._masks_flat: Optional[jnp.ndarray] = None
 
     def _active_sh_degree(self) -> int:
         return min(self.step // self.cfg.sh_degree_interval, self.cfg.sh_degree)
 
+    def _next_event_boundary(self, end: int) -> int:
+        """First step > self.step where the host must intervene: refine pass,
+        opacity reset, post-reset K-window edge, SH-degree bump, eval log, or
+        checkpoint. Scan chunks never straddle one, so the per-chunk static
+        config (effective_cfg, active SH degree) is constant inside a chunk."""
+        cfg = self.cfg
+        d = cfg.densify
+        s = self.step
+        periods = [cfg.eval_every, cfg.sh_degree_interval]
+        if cfg.strategy == "default":
+            periods += [d.refine_every, d.reset_opacity_every]
+        if self.checkpoint_dir:
+            periods.append(cfg.checkpoint_every)
+        nxt = min((s // p + 1) * p for p in periods if p > 0)
+        # effective_cfg's post-reset max_per_tile window closes mid-period:
+        # its edge is a boundary too (the compiled program changes there).
+        if cfg.strategy == "default" and d.reset_opacity_every > 0:
+            last_reset = (s // d.reset_opacity_every) * d.reset_opacity_every
+            recover_end = last_reset + cfg.post_reset_recover_steps
+            if s < recover_end:
+                nxt = min(nxt, recover_end)
+        return min(nxt, end)
+
     def run(self, steps: Optional[int] = None) -> Params:
         cfg = self.cfg
-        n_views = self.images.shape[0]
         total = steps if steps is not None else cfg.max_steps
+        # The stepwise loop stays for the xprof profiling hook (per-step trace
+        # annotations) and MCMC (per-step exploration noise lives on the host
+        # schedule there).
+        if os.environ.get("TPU_SPLAT_PROFILE", "") or cfg.strategy == "mcmc":
+            return self._run_stepwise(total)
+        n_views = self.images.shape[0]
+        rng = np.random.default_rng(42)
+        t0 = time.time()
+        if self._images_flat is None:
+            self._images_flat = jnp.asarray(
+                self.images.reshape(n_views, -1))
+            if self.masks is not None:
+                self._masks_flat = jnp.asarray(
+                    self.masks.reshape(n_views, -1).astype(np.float32))
+        start_step = self.step
+        end = self.step + total
+        while self.step < end:
+            boundary = self._next_event_boundary(end)
+            n = boundary - self.step
+            views = jnp.asarray(rng.integers(n_views, size=n), jnp.int32)
+            step_cfg = effective_cfg(cfg, self.step)
+            self.key = jnp.asarray(self.key)
+            (self.params, self.adam, self.dstate, self.cam_deltas,
+             self._cam_mu, self._cam_nu, self.key, loss, last_psnr
+             ) = train_steps_scan(
+                self.params, self.adam, self.dstate, self.cam_deltas,
+                self._cam_mu, self._cam_nu, self.key, self._images_flat,
+                self._masks_flat, self.viewmats, self.intrinsics, views,
+                jnp.asarray(self.step, jnp.int32), self.scene_scale,
+                step_cfg, self.width, self.height, self._active_sh_degree(),
+                cfg.optimize_camera_poses, self.masks is not None,
+            )
+            self.step = boundary
+            if (self.checkpoint_dir
+                    and self.step % cfg.checkpoint_every == 0):
+                self.save_checkpoint(self.checkpoint_dir)
+            if cfg.strategy == "default":
+                self._default_refine()
+            if self.step % cfg.eval_every == 0 or self.step == end:
+                alive_n = num_alive(self.params)
+                rate = (self.step - start_step) / max(time.time() - t0, 1e-9)
+                self.log(
+                    f"step {self.step}: loss={float(loss):.4f} "
+                    f"psnr={float(last_psnr):.2f} alive={alive_n} "
+                    f"({rate:.1f} it/s)"
+                )
+        return self.params
+
+    def _run_stepwise(self, total: int) -> Params:
+        cfg = self.cfg
+        n_views = self.images.shape[0]
         rng = np.random.default_rng(42)
         t0 = time.time()
         # Debug-flag profiling hook (SURVEY 5.1): TPU_SPLAT_PROFILE=<dir>
@@ -386,6 +552,14 @@ class Trainer:
                 self.params, self.adam, self.dstate, sub,
                 jnp.asarray(self.scene_scale), d, jnp.asarray(self.step),
             )
+            # Surface refine activity at eval boundaries: an at-scale run
+            # whose alive count never moves (r4 fast preset froze at 4636 for
+            # 5000 steps) is undiagnosable without these numbers in the log.
+            if self.step % cfg.eval_every == 0:
+                self.log(
+                    f"refine @{self.step}: split={int(stats['n_split'])} "
+                    f"dup={int(stats['n_dup'])} pruned={int(stats['n_pruned'])} "
+                    f"alive={int(stats['n_alive'])}")
             # Grow capacity if nearly full (host-side; one recompile per growth).
             capacity = self.params["means"].shape[0]
             alive_n = num_alive(self.params)

@@ -356,6 +356,43 @@ def essential_ransac_pairs(
     return _np.concatenate(Es), _np.concatenate(inls)
 
 
+@functools.partial(jax.jit, static_argnums=())
+def _decompose_essential_vmapped(Es, x1n, x2n, inliers):
+    return jax.vmap(decompose_essential)(Es, x1n, x2n, inliers)
+
+
+def decompose_essential_pairs(
+    Es: jnp.ndarray,
+    x1n: jnp.ndarray,
+    x2n: jnp.ndarray,
+    inliers: jnp.ndarray,
+    chunk: int = 16,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched decompose_essential over a leading pair axis, chunked to a
+    fixed block size so every call hits the same compiled program (per-pair
+    dispatch latency through the remote tunnel dominated the endgame's
+    wide-pair augmentation). Returns (R (P,3,3), t (P,3)) as numpy."""
+    import numpy as _np
+
+    p = Es.shape[0]
+    Rs, ts = [], []
+    for i in range(0, p, chunk):
+        n = min(chunk, p - i)
+        pad = chunk - n
+
+        def blk(a):
+            b = jnp.asarray(a[i:i + n])
+            if pad:
+                b = jnp.concatenate([b, jnp.repeat(b[-1:], pad, axis=0)])
+            return b
+
+        R, t = _decompose_essential_vmapped(
+            blk(Es), blk(x1n), blk(x2n), blk(inliers))
+        Rs.append(_np.asarray(R[:n]))
+        ts.append(_np.asarray(t[:n]))
+    return _np.concatenate(Rs), _np.concatenate(ts)
+
+
 def decompose_essential(
     E: jnp.ndarray, x1n: jnp.ndarray, x2n: jnp.ndarray, inliers: jnp.ndarray
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:

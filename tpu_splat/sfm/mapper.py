@@ -35,6 +35,7 @@ from tpu_splat.sfm.ba import BAProblem, bundle_adjust
 from tpu_splat.sfm.features import FeatureConfig, Features, rgb_to_gray
 from tpu_splat.sfm.geometry import (
     decompose_essential,
+    decompose_essential_pairs,
     essential_ransac,
     essential_ransac_pairs,
     pnp_ransac,
@@ -423,6 +424,22 @@ class IncrementalMapper:
         else:
             self.log(f"focal sweep: flat consensus {score.tolist()}; "
                      f"keeping prior fx={self.fx:.1f}")
+
+    def _norm_coords_all(self) -> np.ndarray:
+        """(N, K, 2) normalized undistorted coords for every feature slot of
+        every image — the batched form of _norm_coords the vmapped pair
+        dispatches (guided matching, RANSAC verification) consume."""
+        xy = self._xy_stack()  # (N, K, 2)
+        uv = np.empty_like(xy, dtype=np.float32)
+        uv[..., 0] = (xy[..., 0] - self.cx) / self.fx
+        uv[..., 1] = (xy[..., 1] - self.cy) / self.fy
+        if self.k1 != 0.0:
+            xu = uv
+            for _ in range(3):
+                r2 = np.sum(xu * xu, axis=-1, keepdims=True)
+                xu = uv / (1.0 + self.k1 * r2)
+            uv = xu.astype(np.float32)
+        return uv
 
     def _norm_coords(self, img_idx: int, feat_idx: np.ndarray) -> np.ndarray:
         """Pixel keypoints -> UNDISTORTED normalized coords under the current
@@ -944,8 +961,12 @@ class IncrementalMapper:
                        or (h1 >= h0 and rms1 < 0.75 * rms0)))
         self.log(f"distortion multistart: {{{trace}}} -> "
                  + (f"k1={k1_fit:+.4f}" if accept else "pinhole"))
-        if accept:
-            restore(winner)
+        # Keep the WINNING map either way. The control trial's rebuild
+        # (loose readmit + short-span revisit + retriangulate + extended BA)
+        # is valuable endgame work independent of the distortion question —
+        # restoring the pre-trial baseline here threw away a 4K -> 30K point
+        # map on the r4 fast-preset run and starved training of seeds.
+        restore(winner if accept else control[0][4])
 
     def _obs_consensus(self):
         """Model-comparison score for the distortion decision: the number of
@@ -1243,12 +1264,18 @@ class IncrementalMapper:
 
     def _augment_wide_pairs_impl(self, max_span: int = 8,
                                  revisit: bool = False) -> int:
-        from tpu_splat.sfm.matching import guided_match
+        from tpu_splat.sfm.matching import guided_match_pairs
 
         reg = np.nonzero(self.registered)[0]
-        thresh_n = self.cfg.pixel_threshold / self.fx
-        n_pairs = 0
-        n_obs = 0
+        cfg = self.cfg
+        thresh_n = cfg.pixel_threshold / self.fx
+
+        # Host-side candidate collection: pose-derived E per pair (cheap numpy).
+        # relative pose a->b (x_b = R x_a + t), E = [t]x R — the same
+        # convention guided_match gates with (p_b^T E p_a = 0)
+        cand: List[Tuple[int, int]] = []
+        cand_E: List[np.ndarray] = []
+        cand_Rrel: List[np.ndarray] = []
         for ii, a in enumerate(reg):
             for b in reg[ii + 1:]:
                 a_i, b_i = int(a), int(b)
@@ -1257,8 +1284,6 @@ class IncrementalMapper:
                 if not revisit and ((a_i, b_i) in self.pair_matches
                                     or (b_i, a_i) in self.pair_matches):
                     continue
-                # relative pose a->b (x_b = R x_a + t), E = [t]x R — the same
-                # convention guided_match gates with (p_b^T E p_a = 0)
                 R_rel = self.R[b_i] @ self.R[a_i].T
                 t_rel = self.t[b_i] - R_rel @ self.t[a_i]
                 tn = t_rel / max(np.linalg.norm(t_rel), 1e-9)
@@ -1267,74 +1292,96 @@ class IncrementalMapper:
                     [tn[2], 0.0, -tn[0]],
                     [-tn[1], tn[0], 0.0],
                 ], np.float32) @ R_rel
-                ka = self.feats[a_i].xy.shape[0]
-                kb = self.feats[b_i].xy.shape[0]
-                gm = guided_match(
-                    jnp.asarray(self.feats[a_i].descriptor),
-                    jnp.asarray(self.feats[a_i].valid),
-                    jnp.asarray(self._norm_coords(a_i, np.arange(ka))),
-                    jnp.asarray(self.feats[b_i].descriptor),
-                    jnp.asarray(self.feats[b_i].valid),
-                    jnp.asarray(self._norm_coords(b_i, np.arange(kb))),
-                    jnp.asarray(E), epipolar_threshold=thresh_n,
-                    max_matches=self.cfg.max_matches_per_pair,
-                )
-                gidx = np.asarray(gm.idx)[np.asarray(gm.valid)]
-                if len(gidx) < self.cfg.min_pnp_inliers:
-                    continue
-                # The pose-derived E is itself drifted, so its epipolar gate
-                # passes wrong matches near the wrong epiline. Re-verify the
-                # candidate set with its own RANSAC and require the recovered
-                # rotation to agree with the current relative pose — a pair
-                # that disagrees would inject the very drift it should fix.
-                xa = self._norm_coords(a_i, gidx[:, 0])
-                xb = self._norm_coords(b_i, gidx[:, 1])
-                # Strict by design: on walked captures the candidate wide pairs
-                # often see nothing in common, and their "matches" are spurious
-                # plane texture — a critical surface where RANSAC happily finds
-                # a wrong-but-consistent E. Loosening these gates measurably
-                # degrades the ring benchmark (7.8% -> 13.2% center RMSE).
-                E2, inl_p, xap, xbp, _m = self._ransac_padded(
-                    xa, xb, 0.5 * thresh_n)
-                inl = inl_p[:_m]
-                if inl.sum() < max(self.cfg.min_pnp_inliers, 0.5 * len(gidx)):
-                    continue
-                R2, _ = decompose_essential(
-                    E2, jnp.asarray(xap), jnp.asarray(xbp), jnp.asarray(inl_p)
-                )
-                dR = np.asarray(R2) @ R_rel.T
-                ang = np.degrees(np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1)))
+                cand.append((a_i, b_i))
+                cand_E.append(E)
+                cand_Rrel.append(R_rel)
+        if not cand:
+            return 0
+
+        # Batched guided matching over ALL candidate pairs (the former
+        # per-pair host loop was ~1 s/pair of tunnel latency — 290 s per
+        # endgame augment call at 150-image scale, the r4 profile's top line).
+        pairs = np.asarray(cand, np.int32)
+        Es = np.stack(cand_E)
+        xy_n = self._norm_coords_all()
+        descs = np.stack([f.descriptor for f in self.feats])
+        valids = np.stack([f.valid for f in self.feats])
+        gm = guided_match_pairs(
+            jnp.asarray(descs), jnp.asarray(valids), jnp.asarray(xy_n),
+            pairs, Es, np.full(len(pairs), thresh_n, np.float32),
+            max_matches=cfg.max_matches_per_pair,
+        )
+        gm_idx = np.asarray(gm.idx)
+        gm_valid = np.asarray(gm.valid)
+        counts = gm_valid.sum(1)
+        sel = np.nonzero(counts >= cfg.min_pnp_inliers)[0]
+        if len(sel) == 0:
+            return 0
+
+        # The pose-derived E is itself drifted, so its epipolar gate passes
+        # wrong matches near the wrong epiline. Re-verify every candidate set
+        # with its own RANSAC (one batched dispatch) and require the recovered
+        # rotation to agree with the current relative pose — a pair that
+        # disagrees would inject the very drift it should fix.
+        # Strict by design: on walked captures the candidate wide pairs
+        # often see nothing in common, and their "matches" are spurious
+        # plane texture — a critical surface where RANSAC happily finds
+        # a wrong-but-consistent E. Loosening these gates measurably
+        # degrades the ring benchmark (7.8% -> 13.2% center RMSE).
+        A, B = pairs[sel, 0], pairs[sel, 1]
+        xa = xy_n[A[:, None], gm_idx[sel, :, 0]]  # (S, M, 2)
+        xb = xy_n[B[:, None], gm_idx[sel, :, 1]]
+        keys = jax.random.split(self._next_key(), len(sel))
+        E2_all, inl_all = essential_ransac_pairs(
+            jnp.asarray(xa), jnp.asarray(xb), jnp.asarray(gm_valid[sel]),
+            keys, jnp.full((len(sel),), 0.5 * thresh_n, jnp.float32),
+        )
+        inl_all = np.asarray(inl_all) & gm_valid[sel]
+        R2_all, _ = decompose_essential_pairs(E2_all, xa, xb, inl_all)
+
+        n_pairs = 0
+        n_obs = 0
+        for row, s in enumerate(sel):
+            a_i, b_i = int(pairs[s, 0]), int(pairs[s, 1])
+            R_rel = cand_Rrel[s]
+            gidx = gm_idx[s][gm_valid[s]]
+            inl = inl_all[row][gm_valid[s]]
+            if inl.sum() < max(cfg.min_pnp_inliers, 0.5 * len(gidx)):
+                continue
+            dR = R2_all[row] @ R_rel.T
+            ang = np.degrees(np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1)))
                 # Map-agreement gate, adaptive: a DRIFTED map disagrees with a
                 # TRUE wide pair by exactly the accumulated drift, so pairs
-                # whose own RANSAC support is overwhelming get a loose gate
-                # (they are the drift-correcting constraints); weakly supported
-                # candidates keep the strict 8 degrees (spurious plane-texture
-                # E's are internally consistent but directionally random).
-                strong = inl.sum() >= max(2 * self.cfg.min_pnp_inliers,
-                                          0.7 * len(gidx))
-                # The weak gate widens with pair span: a DRIFTED chain map
-                # disagrees with a true span-s pair by the bend accumulated
-                # over s views (~2-3 deg/view on the ring fixture), and the
-                # wide pairs the gate exists to admit are exactly the ones
-                # that correct that bend — a fixed 8 deg rejects them all
-                # once the chain has bent enough to need them. The widening
-                # widening stops at span 4: beyond that, genuine visual
-                # overlap is gone on orbit/walk captures while repetitive-
-                # texture candidates keep matching, and a wide gate admits
-                # their internally-consistent-but-random E's wholesale
-                # (measured: a 20-deg gate at all spans with DSP descriptors
-                # admitted 43 wide pairs and tripled ring drift, 16% -> 43%)
-                # — far pairs fall back to the strict 8 deg.
-                span = b_i - a_i
-                gate = 25.0 if strong else (
-                    8.0 + 2.5 * span if span <= 4 else 8.0)
-                if ang > gate:
-                    continue
-                gidx = gidx[inl]
-                n_pairs += 1
-                n_obs += self._merge_matches_into_tracks(a_i, b_i, gidx)
-                self.pair_matches[(a_i, b_i)] = gidx
-                self.pair_inliers[(a_i, b_i)] = len(gidx)
+            # Map-agreement gate, adaptive: pairs whose own RANSAC support
+            # is overwhelming get a loose gate (they are the drift-correcting
+            # constraints); weakly supported candidates keep the strict 8
+            # degrees (spurious plane-texture E's are internally consistent
+            # but directionally random).
+            strong = inl.sum() >= max(2 * cfg.min_pnp_inliers,
+                                      0.7 * len(gidx))
+            # The weak gate widens with pair span: a DRIFTED chain map
+            # disagrees with a true span-s pair by the bend accumulated
+            # over s views (~2-3 deg/view on the ring fixture), and the
+            # wide pairs the gate exists to admit are exactly the ones
+            # that correct that bend — a fixed 8 deg rejects them all
+            # once the chain has bent enough to need them. The widening
+            # stops at span 4: beyond that, genuine visual overlap is gone
+            # on orbit/walk captures while repetitive-texture candidates
+            # keep matching, and a wide gate admits their internally-
+            # consistent-but-random E's wholesale (measured: a 20-deg gate
+            # at all spans with DSP descriptors admitted 43 wide pairs and
+            # tripled ring drift, 16% -> 43%) — far pairs fall back to the
+            # strict 8 deg.
+            span = b_i - a_i
+            gate = 25.0 if strong else (
+                8.0 + 2.5 * span if span <= 4 else 8.0)
+            if ang > gate:
+                continue
+            gidx = gidx[inl]
+            n_pairs += 1
+            n_obs += self._merge_matches_into_tracks(a_i, b_i, gidx)
+            self.pair_matches[(a_i, b_i)] = gidx
+            self.pair_inliers[(a_i, b_i)] = len(gidx)
         if n_pairs:
             self.log(f"wide-pair augmentation: {n_pairs} new pairs, "
                      f"{n_obs} track links")
