@@ -62,6 +62,11 @@ class TrainConfig:
     max_per_tile: int = 256
     post_reset_max_per_tile: int = 512
     post_reset_recover_steps: int = 500
+    # Per-tile capacity before the FIRST opacity reset (the init regime:
+    # sparse seed cloud, giant knn scales, nothing saturates) — see
+    # effective_cfg. 0 = auto (4x max_per_tile, capped at 1024). Must be a
+    # multiple of pallas_raster.CHUNK (128).
+    warmup_max_per_tile: int = 0
     tile_size: int = 16
     random_background: bool = True
     scale_reg_weight: float = 0.0  # splatfacto use_scale_regularization analog
@@ -133,11 +138,25 @@ def scale_schedule(cfg: TrainConfig, factor: int) -> TrainConfig:
 
 
 def effective_cfg(cfg: TrainConfig, step: int) -> TrainConfig:
-    """The config to run `step` with: within post_reset_recover_steps of an
-    opacity reset the per-tile capacity rises to post_reset_max_per_tile (see
-    the TrainConfig.max_per_tile note). Returns cfg itself outside the window
-    so jit sees one static config per phase."""
+    """The config to run `step` with: before the first opacity reset the
+    per-tile capacity runs at warmup_max_per_tile, and within
+    post_reset_recover_steps of a reset it rises to post_reset_max_per_tile
+    (see the TrainConfig.max_per_tile note). Returns cfg itself in the steady
+    state so jit sees one static config per phase.
+
+    The warmup tier exists because the K cap's bit-exactness argument
+    INVERTS in the init regime: a sparse SfM seed cloud has huge knn-derived
+    scales, so a few thousand giant splats overflow every tile — contributors
+    beyond K are dropped, the image cannot converge, and (worse) dropped
+    gaussians receive zero screen-space gradient, which freezes densification
+    entirely (measured on the r4 150x720p run: alive pinned at 4636 for 5000
+    steps, PSNR 8.3; and on a 256x144 diag: PSNR declines 24.8 -> 20.8 as
+    alive crosses the tile-capacity ceiling)."""
     d = cfg.densify
+    warmup_k = cfg.warmup_max_per_tile or min(4 * cfg.max_per_tile, 1024)
+    if d.reset_opacity_every > 0 and warmup_k > cfg.max_per_tile \
+            and step < min(d.reset_opacity_every, d.refine_stop):
+        return replace(cfg, max_per_tile=warmup_k)
     if cfg.post_reset_max_per_tile <= cfg.max_per_tile or \
             d.reset_opacity_every <= 0:
         return cfg
