@@ -225,9 +225,6 @@ def bench_fast_preset() -> dict:
     The result is persisted to FAST_PRESET.json and surfaced in the default
     bench output so the driver's BENCH_r{N} picks it up without re-running the
     ~full-scale job every round."""
-    import shutil
-    import tempfile
-
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from scripts.render_fast_preset_capture import N_FRAMES, render_capture
     from tpu_splat.cli.generate_splat import build_job_json
@@ -243,7 +240,15 @@ def bench_fast_preset() -> dict:
         render_capture(img_dir,
                        log=lambda s: print(s, file=sys.stderr, flush=True))
 
-    work = tempfile.mkdtemp(prefix="tpu_splat_fast_bench_")
+    # Persistent work dir (NOT deleted): the colmap sparse model and orbax
+    # checkpoints it leaves behind seed follow-up experiments (e.g. the
+    # 30K-iter quality run) without re-running SfM.
+    work = os.environ.get("FAST_PRESET_WORKDIR", "/tmp/tpu_splat_fast_run")
+    if os.path.isdir(work):  # a stale checkpoint must not leak into the bench
+        import shutil
+
+        shutil.rmtree(work)
+    os.makedirs(work, exist_ok=True)
     job = build_job_json(img_dir, output_path=os.path.join(work, "out"),
                          preset="fast")
     cfg = job_config_from_json(job)
@@ -269,7 +274,6 @@ def bench_fast_preset() -> dict:
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "FAST_PRESET.json"), "w") as f:
         json.dump(out, f, indent=2)
-    shutil.rmtree(work, ignore_errors=True)
     return out
 
 
