@@ -74,18 +74,67 @@ def triangulate_dlt(P1: jnp.ndarray, P2: jnp.ndarray, x1: jnp.ndarray,
     return jax.vmap(solve_one)(x1, x2)
 
 
+def _tri_solve_upper4(R: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Unrolled 4x4 back-substitution (R upper-triangular, diag pre-clamped)."""
+    x3 = b[3] / R[3, 3]
+    x2 = (b[2] - R[2, 3] * x3) / R[2, 2]
+    x1 = (b[1] - R[1, 2] * x2 - R[1, 3] * x3) / R[1, 1]
+    x0 = (b[0] - R[0, 1] * x1 - R[0, 2] * x2 - R[0, 3] * x3) / R[0, 0]
+    return jnp.stack([x0, x1, x2, x3])
+
+
+def _tri_solve_lower4(L: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Unrolled 4x4 forward substitution (L lower-triangular)."""
+    x0 = b[0] / L[0, 0]
+    x1 = (b[1] - L[1, 0] * x0) / L[1, 1]
+    x2 = (b[2] - L[2, 0] * x0 - L[2, 1] * x1) / L[2, 2]
+    x3 = (b[3] - L[3, 0] * x0 - L[3, 1] * x1 - L[3, 2] * x2) / L[3, 3]
+    return jnp.stack([x0, x1, x2, x3])
+
+
 def _smallest_right_vector4(A: jnp.ndarray) -> jnp.ndarray:
-    """Null-ish vector of a (R, 4) DLT system: smallest eigenvector of A^T A.
+    """Smallest right-singular vector of a (R, 4) DLT system.
 
     NOT jnp.linalg.svd: XLA lowers batched tall-skinny SVDs through a QR
     custom call whose scoped-VMEM allocation scales with the vmap batch —
     a (32768, 16, 4) retriangulation batch exceeded the 16 MB scoped limit
-    on v5e (hard compile error). eigh on the 4x4 Gram matrix computes the
-    same vector (squared conditioning is harmless at triangulation scales)
-    with a tiny fixed footprint."""
-    gram = A.T @ A
-    _, v = jnp.linalg.eigh(gram)
-    return v[:, 0]
+    on v5e (hard compile error). And NOT plain eigh(A^T A): FORMING the Gram
+    in f32 squares the condition number and destroys the null direction on
+    drifty DLT systems — the r4 regression that bent the ring benchmark's
+    recovered orbit (center RMSE 0.66 -> 1.61, bisected to exactly this).
+    Instead: an in-graph Householder QR of A (static shapes, no custom
+    call, tiny fixed footprint), then inverse iteration with the triangular
+    factor (x <- R^-1 R^-T x), which applies (A^T A)^-1 STABLY — errors stay
+    relative to cond(A), not cond(A)^2, because the Gram is never formed.
+    eigh on the 4x4 Gram only seeds the iteration (any seed with a nonzero
+    component along the target works; the eigh vector is the best cheap one)."""
+    r = A.shape[0]
+    # Householder QR -> R4 (4x4 upper-triangular), Q discarded
+    M = A
+    rows = jnp.arange(r)
+    for j in range(4):
+        v = jnp.where(rows >= j, M[:, j], 0.0)
+        nv = jnp.linalg.norm(v)
+        sign = jnp.where(v[j] >= 0, 1.0, -1.0)
+        u = v.at[j].add(sign * nv)
+        u = u / jnp.maximum(jnp.linalg.norm(u), 1e-30)
+        M = M - 2.0 * jnp.outer(u, u @ M)
+    R4 = jnp.triu(M[:4])
+    # clamp the diagonal away from exact zero (perfect-data rank deficiency):
+    # amplification caps at ~1e7, far past what 2 iterations need
+    d = jnp.diag(R4)
+    floor = 1e-7 * jnp.maximum(jnp.max(jnp.abs(d)), 1e-30)
+    d_safe = jnp.where(jnp.abs(d) < floor,
+                       jnp.where(d >= 0, floor, -floor), d)
+    R4 = R4 + jnp.diag(d_safe - d)
+
+    _, v = jnp.linalg.eigh(R4.T @ R4)
+    x = v[:, 0]
+    for _ in range(2):
+        y = _tri_solve_lower4(R4.T, x)
+        x = _tri_solve_upper4(R4, y)
+        x = x / jnp.maximum(jnp.linalg.norm(x), 1e-30)
+    return x
 
 
 def triangulate_multiview(Ps: jnp.ndarray, xs: jnp.ndarray,
