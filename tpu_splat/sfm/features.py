@@ -110,10 +110,13 @@ def _edge_response_ok(dog_s: jnp.ndarray, edge_threshold: float) -> jnp.ndarray:
     return (det > 0) & (tr * tr * r < (r + 1) ** 2 * det)
 
 
-def _bilinear3(stack: jnp.ndarray, h: int, s: jnp.ndarray, x: jnp.ndarray,
-               y: jnp.ndarray) -> jnp.ndarray:
-    """Bilinear sample of level s (height h) of a ROW-FLATTENED (S*H, W)
-    stack at float coords (clamped).
+def _bilinear3(stack: jnp.ndarray, row_base: jnp.ndarray, h: jnp.ndarray,
+               w: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear sample of one pyramid level of a ROW-FLATTENED (R, W0) stack
+    at float coords, clamped to the level's (h, w) extent. `row_base` is the
+    level's first row (octave offset + scale*height — octaves narrower than
+    W0 are right-padded with zeros that the x clamp keeps unreachable), so
+    ONE stack serves every octave and the caller needs no per-octave code.
 
     Two shape lessons are baked in here. (1) Indexing the level INSIDE the
     gather keeps the whole pyramid out of the per-keypoint batch —
@@ -123,14 +126,13 @@ def _bilinear3(stack: jnp.ndarray, h: int, s: jnp.ndarray, x: jnp.ndarray,
     (B, S) as the minor (lane/sublane) axes, padding 675 MB of gradients to
     14 GB (measured OOM at 720p x 8 frames); with (B, S*H, W) the minor dims
     are large and padding is trivial."""
-    w = stack.shape[-1]
     x = jnp.clip(x, 0.0, w - 1.001)
     y = jnp.clip(y, 0.0, h - 1.001)
     x0 = jnp.floor(x).astype(jnp.int32)
     y0 = jnp.floor(y).astype(jnp.int32)
     fx = x - x0
     fy = y - y0
-    r0 = s * h + y0
+    r0 = row_base + y0
     v00 = stack[r0, x0]
     v01 = stack[r0, x0 + 1]
     v10 = stack[r0 + 1, x0]
@@ -143,15 +145,15 @@ def _bilinear3(stack: jnp.ndarray, h: int, s: jnp.ndarray, x: jnp.ndarray,
     )
 
 
-def _keypoint_orientation(gxs, gys, h, si, x, y, sigma):
+def _keypoint_orientation(gxs, gys, row_base, h, w, x, y, sigma):
     """Dominant gradient orientation in a gaussian-weighted window (36 bins)."""
     radius = 3.0 * sigma  # window radius in pixels (at this octave's resolution)
     grid = jnp.linspace(-1.0, 1.0, 9)  # 9x9 samples over the window
     ox, oy = jnp.meshgrid(grid * radius, grid * radius)
     sx = x + ox.reshape(-1)
     sy = y + oy.reshape(-1)
-    mag_x = _bilinear3(gxs, h, si, sx, sy)
-    mag_y = _bilinear3(gys, h, si, sx, sy)
+    mag_x = _bilinear3(gxs, row_base, h, w, sx, sy)
+    mag_y = _bilinear3(gys, row_base, h, w, sx, sy)
     mag = jnp.sqrt(mag_x**2 + mag_y**2)
     ang = jnp.arctan2(mag_y, mag_x)  # [-pi, pi]
     wgt = jnp.exp(-(ox.reshape(-1) ** 2 + oy.reshape(-1) ** 2) / (2 * (1.5 * sigma) ** 2))
@@ -169,7 +171,7 @@ def _keypoint_orientation(gxs, gys, h, si, x, y, sigma):
     return theta
 
 
-def _descriptor(gxs, gys, h, si, x, y, sigma, theta):
+def _descriptor(gxs, gys, row_base, h, w, x, y, sigma, theta):
     """128-d SIFT descriptor: 4x4 spatial cells x 8 orientation bins."""
     d = 4  # spatial bins
     n_ori = 8
@@ -181,8 +183,8 @@ def _descriptor(gxs, gys, h, si, x, y, sigma, theta):
     cos_t, sin_t = jnp.cos(theta), jnp.sin(theta)
     sx = x + (cos_t * u - sin_t * v).reshape(-1) * hist_width
     sy = y + (sin_t * u + cos_t * v).reshape(-1) * hist_width
-    gxv = _bilinear3(gxs, h, si, sx, sy)
-    gyv = _bilinear3(gys, h, si, sx, sy)
+    gxv = _bilinear3(gxs, row_base, h, w, sx, sy)
+    gyv = _bilinear3(gys, row_base, h, w, sx, sy)
     mag = jnp.sqrt(gxv**2 + gyv**2)
     ang = jnp.arctan2(gyv, gxv) - theta
     wgt = jnp.exp(-(u.reshape(-1) ** 2 + v.reshape(-1) ** 2) / (2 * (d / 2) ** 2))
@@ -238,12 +240,22 @@ def extract_features(
     # blur increments between successive scales
     sigmas = [cfg.sigma0 * (k**i) for i in range(s + 3)]
 
-    per_octave_k = cfg.max_features  # candidates per octave before global top-K
+    # Number of octaves that will actually run (downsampling floors at 32px);
+    # needed up front so per-octave quotas can be static.
+    hh, ww = img.shape
+    n_oct = 0
+    for _ in range(cfg.num_octaves):
+        n_oct += 1
+        hh, ww = (hh + 1) // 2, (ww + 1) // 2
+        if min(hh, ww) < 32:
+            break
+
+    kk = cfg.max_features
     all_resp, all_x, all_y, all_sig, all_oct, all_scale_idx = [], [], [], [], [], []
     gauss_stacks = []
 
     cur = _blur(img, cfg.sigma0)
-    for octave in range(cfg.num_octaves):
+    for octave in range(n_oct):
         h, w = cur.shape
         stack = [cur]
         for i in range(1, s + 3):
@@ -269,7 +281,7 @@ def extract_features(
         mask = extrema & contrast_ok & edge_ok & border[None]
         resp = jnp.where(mask, jnp.abs(dog), 0.0).reshape(-1)
 
-        top_resp, top_idx = jax.lax.top_k(resp, min(per_octave_k, resp.shape[0]))
+        top_resp, top_idx = jax.lax.top_k(resp, min(kk, resp.shape[0]))
         sw = dog.shape[2]
         scale_i = top_idx // (h * w)
         rem = top_idx % (h * w)
@@ -287,8 +299,32 @@ def extract_features(
         all_scale_idx.append(scale_i + 1)
 
         cur = stack[s][::2, ::2]
-        if min(cur.shape) < 32:
-            break
+
+    # Precompute gradient stacks ONCE (outside the keypoint vmap): every
+    # octave's (S+3, h_o, w_o) gradients are row-flattened and CONCATENATED
+    # into one (R, W0) table (narrower octaves right-padded to octave 0's
+    # width — never sampled, _bilinear3 clamps x to the level's true width).
+    # Each keypoint then evaluates orientation + descriptor exactly ONCE,
+    # addressing its own octave through a computed row offset. The previous
+    # design evaluated every keypoint against EVERY octave and selected
+    # (num_octaves x the descriptor work — a lax.switch is no alternative:
+    # vmapped it lowers to select_n over captured operands, broadcasting each
+    # octave's full gradient stack to (K, S, H, W), 20 GB at 640px/2048 kps).
+    w0 = gauss_stacks[0].shape[2]
+    gx_rows, gy_rows, row_offs, oct_h, oct_w = [], [], [], [], []
+    off = 0
+    for gauss in gauss_stacks:
+        gx = (jnp.roll(gauss, -1, 2) - jnp.roll(gauss, 1, 2)) * 0.5
+        gy = (jnp.roll(gauss, -1, 1) - jnp.roll(gauss, 1, 1)) * 0.5
+        oh, ow = gauss.shape[1], gauss.shape[2]
+        gx_rows.append(jnp.pad(gx.reshape(-1, ow), ((0, 0), (0, w0 - ow))))
+        gy_rows.append(jnp.pad(gy.reshape(-1, ow), ((0, 0), (0, w0 - ow))))
+        row_offs.append(off)
+        oct_h.append(oh)
+        oct_w.append(ow)
+        off += gx.shape[0] * oh
+    gxs = jnp.concatenate(gx_rows)
+    gys = jnp.concatenate(gy_rows)
 
     resp = jnp.concatenate(all_resp)
     xs = jnp.concatenate(all_x)
@@ -297,52 +333,38 @@ def extract_features(
     octs = jnp.concatenate(all_oct)
     sidx = jnp.concatenate(all_scale_idx)
 
-    kk = cfg.max_features
     top_resp, sel = jax.lax.top_k(resp, kk)
     valid = top_resp > 0
     xs, ys, sig = xs[sel], ys[sel], sig[sel]
     octs, sidx = octs[sel], sidx[sel]
 
-    # Precompute gradient stacks ONCE per octave (outside the keypoint vmap);
-    # per-keypoint work is then only small bilinear gathers into them. The
-    # stacks are flattened to (S*H, W) so the gather operand's minor axes are
-    # the LARGE dims — see _bilinear3's layout note.
-    grad_stacks = []
-    for gauss in gauss_stacks:
-        gx = (jnp.roll(gauss, -1, 2) - jnp.roll(gauss, 1, 2)) * 0.5
-        gy = (jnp.roll(gauss, -1, 1) - jnp.roll(gauss, 1, 1)) * 0.5
-        oh, ow = gauss.shape[1], gauss.shape[2]
-        grad_stacks.append((gx.reshape(-1, ow), gy.reshape(-1, ow), oh))
+    def _sel_oct(vals, octi):
+        """Per-keypoint octave constant via a where-cascade (n_oct scalars)."""
+        out = jnp.full_like(octi, vals[0])
+        for o in range(1, len(vals)):
+            out = jnp.where(octi == o, vals[o], out)
+        return out
 
     def per_keypoint(xi, yi, sigi, octi, si, ok):
-        def on_octave(o):
-            gxs, gys, oh = grad_stacks[o]
-            octave_scale = base_scale * (2.0**o)
-            # coords at octave resolution
-            lx = (xi + 0.5) / octave_scale - 0.5
-            ly = (yi + 0.5) / octave_scale - 0.5
-            lsig = sigi / octave_scale
-            theta = _keypoint_orientation(gxs, gys, oh, si, lx, ly, lsig)
-            if cfg.dsp:
-                descs = [
-                    _descriptor(gxs, gys, oh, si, lx, ly, lsig * f, theta)
-                    for f in (0.75, 1.0, 1.5)
-                ]
-                desc = sum(descs) / 3.0
-                desc = desc / jnp.maximum(jnp.linalg.norm(desc), 1e-8)
-            else:
-                desc = _descriptor(gxs, gys, oh, si, lx, ly, lsig, theta)
-            return theta, desc
-
-        # Evaluate against every octave and select the right small output —
-        # NOT lax.switch: a vmapped switch lowers to select_n over its
-        # captured operands, broadcasting each octave's full gradient stack
-        # to (K, S, H, W) (a 20 GB allocation at 640px / 2048 keypoints).
-        outs = [on_octave(o) for o in range(len(gauss_stacks))]
-        thetas = jnp.stack([t for t, _ in outs])  # (n_oct,)
-        descs = jnp.stack([d for _, d in outs])  # (n_oct, 128)
-        o = jnp.clip(octi, 0, len(gauss_stacks) - 1)
-        return thetas[o], jnp.where(ok, descs[o], 0.0)
+        octave_scale = base_scale * jnp.exp2(octi.astype(jnp.float32))
+        oh = _sel_oct(oct_h, octi)
+        ow = _sel_oct(oct_w, octi)
+        row_base = _sel_oct(row_offs, octi) + si * oh
+        # coords at octave resolution
+        lx = (xi + 0.5) / octave_scale - 0.5
+        ly = (yi + 0.5) / octave_scale - 0.5
+        lsig = sigi / octave_scale
+        theta = _keypoint_orientation(gxs, gys, row_base, oh, ow, lx, ly, lsig)
+        if cfg.dsp:
+            descs = [
+                _descriptor(gxs, gys, row_base, oh, ow, lx, ly, lsig * f, theta)
+                for f in (0.75, 1.0, 1.5)
+            ]
+            desc = sum(descs) / 3.0
+            desc = desc / jnp.maximum(jnp.linalg.norm(desc), 1e-8)
+        else:
+            desc = _descriptor(gxs, gys, row_base, oh, ow, lx, ly, lsig, theta)
+        return theta, jnp.where(ok, desc, 0.0)
 
     thetas, descs = jax.vmap(per_keypoint)(xs, ys, sig, octs, sidx, valid)
 

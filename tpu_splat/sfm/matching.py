@@ -49,19 +49,26 @@ def match_descriptors(
     neg = -jnp.inf
     sim = jnp.where(valid_a[:, None] & valid_b[None, :], sim, neg)
 
-    # Top-2 along b for the ratio test. L2^2 = 2 - 2*sim for unit vectors.
-    top2, top2_idx = jax.lax.top_k(sim, 2)
-    best_b = top2_idx[:, 0]
-    d1 = jnp.sqrt(jnp.maximum(2.0 - 2.0 * top2[:, 0], 0.0))
-    d2 = jnp.sqrt(jnp.maximum(2.0 - 2.0 * top2[:, 1], 0.0))
+    # Top-2 along b for the ratio test, as two max reductions — NOT
+    # lax.top_k(sim, 2), which lowers to a full per-row sort (Ka sorts of Kb
+    # lanes; the dominant cost of the whole matcher at 4096 features).
+    # L2^2 = 2 - 2*sim for unit vectors.
+    m1 = jnp.max(sim, axis=1)
+    best_b = jnp.argmax(sim, axis=1)
+    m2 = jnp.max(
+        jnp.where(jnp.arange(sim.shape[1])[None, :] == best_b[:, None], neg, sim),
+        axis=1,
+    )
+    d1 = jnp.sqrt(jnp.maximum(2.0 - 2.0 * m1, 0.0))
+    d2 = jnp.sqrt(jnp.maximum(2.0 - 2.0 * m2, 0.0))
     ratio_ok = d1 < ratio * d2
 
     # Mutual check: a must be b's best too.
     best_a_of_b = jnp.argmax(sim, axis=0)  # (Kb,)
     mutual = best_a_of_b[best_b] == jnp.arange(sim.shape[0])
 
-    ok = ratio_ok & mutual & valid_a & (top2[:, 0] > neg)
-    score = jnp.where(ok, top2[:, 0], -jnp.inf)
+    ok = ratio_ok & mutual & valid_a & (m1 > neg)
+    score = jnp.where(ok, m1, -jnp.inf)
     top_scores, sel_a = jax.lax.top_k(score, min(max_matches, score.shape[0]))
     pairs = jnp.stack([sel_a, best_b[sel_a]], axis=-1).astype(jnp.int32)
     return Matches(idx=pairs, valid=jnp.isfinite(top_scores))
@@ -146,12 +153,16 @@ def guided_match(
     gated = jnp.where(ok, sim, -jnp.inf)
     # Ratio test *within* the epipolar-gated candidates: without it, anything
     # lying along the epipolar line matches freely and floods the tracks.
-    top2, top2_idx = jax.lax.top_k(gated, 2)
-    best_b = top2_idx[:, 0]
-    best_sim = top2[:, 0]
-    d1 = jnp.sqrt(jnp.maximum(2.0 - 2.0 * top2[:, 0], 0.0))
-    d2 = jnp.sqrt(jnp.maximum(2.0 - 2.0 * top2[:, 1], 0.0))
-    ratio_ok = jnp.where(jnp.isfinite(top2[:, 1]), d1 < 0.9 * d2, True)
+    best_sim = jnp.max(gated, axis=1)  # two max reductions, not a per-row sort
+    best_b = jnp.argmax(gated, axis=1)
+    second = jnp.max(
+        jnp.where(jnp.arange(gated.shape[1])[None, :] == best_b[:, None],
+                  -jnp.inf, gated),
+        axis=1,
+    )
+    d1 = jnp.sqrt(jnp.maximum(2.0 - 2.0 * best_sim, 0.0))
+    d2 = jnp.sqrt(jnp.maximum(2.0 - 2.0 * second, 0.0))
+    ratio_ok = jnp.where(jnp.isfinite(second), d1 < 0.9 * d2, True)
     best_a_of_b = jnp.argmax(gated, axis=0)
     mutual = best_a_of_b[best_b] == jnp.arange(desc_a.shape[0])
     good = mutual & ratio_ok & jnp.isfinite(best_sim)
