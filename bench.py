@@ -277,25 +277,31 @@ def bench_fast_preset() -> dict:
     return out
 
 
-def _tpu_reachable(timeout_s: float = 420.0) -> bool:
+def _tpu_reachable(timeout_s: float = 0.0) -> bool:
     # Fresh-process device init through the tunnel measures ~55 s healthy but
-    # has been seen past 150 s under host load — the cap only needs to beat
-    # "hangs forever", so keep it generous (a 7-min probe on a dead tunnel is
-    # cheaper than a falsely-skipped bench).
+    # has been seen past 7 MINUTES under tunnel flap (r5: a probe succeeded
+    # at ~240 s, the very next one timed out at 420 s) — the cap only needs
+    # to beat "hangs forever", so keep it generous and give it two attempts
+    # (a slow probe on a dead tunnel is cheaper than a falsely-skipped bench).
     """Probe the accelerator in a SUBPROCESS with a hard timeout: the axon
     tunnel, when down, hangs jax device init forever — without this guard a
     dead tunnel turns the whole bench (and the driver that runs it) into a
-    hang instead of a recorded failure."""
+    hang instead of a recorded failure. Timeout tunable via
+    TPU_PROBE_TIMEOUT_S."""
     import subprocess
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c",
-             "import jax, jax.numpy as jnp;"
-             "print(float(jnp.ones((64, 64)).sum()))"],
-            timeout=timeout_s, capture_output=True)
-        return r.returncode == 0
-    except subprocess.TimeoutExpired:
-        return False
+    timeout_s = timeout_s or float(os.environ.get("TPU_PROBE_TIMEOUT_S", 600))
+    for _ in range(2):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp;"
+                 "print(float(jnp.ones((64, 64)).sum()))"],
+                timeout=timeout_s, capture_output=True)
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+    return False
 
 
 def main():

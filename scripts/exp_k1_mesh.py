@@ -71,7 +71,9 @@ def main():
 
     print("rendering...", flush=True)
     images, gt_w2c = render_wide_capture(args.views, W, H, FX)
-    images_d = distort_images(images, FX, W / 2, H / 2, args.k1)
+    # --k1 0 is the CONTROL direction: undistorted input, pinhole must win
+    images_d = (images if args.k1 == 0.0
+                else distort_images(images, FX, W / 2, H / 2, args.k1))
 
     cfg = MapperConfig(
         matching_method="exhaustive",
@@ -88,8 +90,9 @@ def main():
     fx_rec = float(scene.cameras.fx[0])
     n_reg = int(np.asarray(scene.registered).sum())
     print(f"\nregistered {n_reg}/{args.views}")
-    print(f"recovered k1 = {k1_rec:+.4f}  (true {args.k1:+.4f}, "
-          f"err {abs(k1_rec - args.k1) / abs(args.k1) * 100:.0f}%)")
+    err = (f"err {abs(k1_rec - args.k1) / abs(args.k1) * 100:.0f}%"
+           if args.k1 else "control: must stay 0")
+    print(f"recovered k1 = {k1_rec:+.4f}  (true {args.k1:+.4f}, {err})")
     print(f"recovered fx = {fx_rec:.1f}  (true {FX:.1f})")
 
     # pose accuracy vs GT (similarity-aligned camera centers)

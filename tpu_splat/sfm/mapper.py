@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import contextlib
 import math
+import os
 import time
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Tuple
@@ -805,19 +806,31 @@ class IncrementalMapper:
         #     end can only PnP once the sloppy segment next to it is repaired
         #     (measured: image 2 climbing 4/13 -> 7/13 -> registrable across
         #     these cycles).
-        for _ in range(3):
-            aug = self._augment_wide_pairs()
+        # Span schedule: near pairs first (3), widening to the full span 8.
+        # The map-agreement gate compares each candidate against the CURRENT
+        # (drifted) map, so a far pair is rejected exactly while the chain is
+        # bent enough to need it — admitting span<=3 pairs first lets BA
+        # straighten the chain so the wider spans can pass their gates on the
+        # next round (one-shot span-8 gating is a knife edge: tiny numeric
+        # perturbations flip which pairs survive, measured 16% <-> 39% final
+        # drift on the ring benchmark).
+        for span in (3, 5, 8, 8, 8):
+            aug = self._augment_wide_pairs(max_span=span)
             if aug:
                 self._retriangulate()
                 self._filter_observations()  # purge bad links before BA
                 self._bundle_adjust(extended=True)
+            else:
+                # no gate-passing pair: try the consensus-arbitrated trial
+                # admissions (each does its own retriangulate + extended BA)
+                aug = self._trial_admit_wide_pairs()
             fixed = self._reregister_weak_cameras()
             if fixed:
                 self._filter_observations()
                 self._retriangulate()
                 self._bundle_adjust(extended=True)
             admitted = self._register_remaining()
-            if not (aug or fixed or admitted):
+            if span >= 8 and not (aug or fixed or admitted):
                 break
         # NOTE: a glomap-style rotation-averaging pass over the final map was
         # tried here and measurably HURTS chain-topology captures (0.66 ->
@@ -827,9 +840,24 @@ class IncrementalMapper:
         # available as the explicit glomap-parity path
         # (global_mapper.run_global_sfm); do not bolt it onto the
         # incremental endgame without a loop-closure topology screen.
-        self._filter_observations()
-        self._retriangulate()
-        self._bundle_adjust(extended=True)
+        # Final polish to CONVERGENCE, not to a fixed budget: a single
+        # extended BA leaves open-chain captures materially under-converged
+        # (measured on the 16-view 240-degree ring: iterating the
+        # filter/retriangulate/BA cycle until the rms plateaus halves the
+        # final camera-center drift, 39% -> ~19% of radius — the "drift
+        # basin" is partly just an unfinished optimization). Each cycle also
+        # re-triangulates with the improved poses, so observations move
+        # between cycles; iterate until the rms improvement stalls (<0.5%)
+        # or the cycle budget is spent (6 cycles ~ +50 s at 150 x 720p,
+        # inside the SfM envelope).
+        prev_rms = None
+        for _ in range(6):
+            self._filter_observations()
+            self._retriangulate()
+            rms = self._bundle_adjust(extended=True)
+            if rms is None or (prev_rms is not None and rms > 0.995 * prev_rms):
+                break
+            prev_rms = rms
         self._refine_distortion_endgame()
         self._refine_per_camera_intrinsics()
         self._filter_points()
@@ -885,28 +913,8 @@ class IncrementalMapper:
         pinhole state byte-for-byte."""
         if not self._calib_k1 or self.registered.sum() < 4:
             return
-        import copy
-
-        def snapshot():
-            return (self.fx, self.fy, self.k1, self.R.copy(), self.t.copy(),
-                    self.points.copy(), self.has_point.copy(),
-                    copy.deepcopy(self.tracks),
-                    [dict(d) for d in self.img_tracks],
-                    dict(self._feat_track), dict(self._dropped_obs),
-                    dict(self.pair_matches), dict(self.pair_inliers))
-
-        def restore(s):
-            (self.fx, self.fy, self.k1, R, t, pts, hp, tracks, img_tracks,
-             feat_track, dropped, pm, pi) = s
-            self.R, self.t = R.copy(), t.copy()
-            self.points, self.has_point = pts.copy(), hp.copy()
-            self.tracks = copy.deepcopy(tracks)
-            self.img_tracks = [dict(d) for d in img_tracks]
-            self._feat_track = dict(feat_track)
-            self._dropped_obs = dict(dropped)
-            self.pair_matches = dict(pm)
-            self.pair_inliers = dict(pi)
-            self._invalidate_obs()
+        snapshot = self._snapshot_map
+        restore = self._restore_map
 
         pinhole = snapshot()
         # Basin trials: a single in-place fit from k1=0 cannot move — the
@@ -967,6 +975,81 @@ class IncrementalMapper:
         # restoring the pre-trial baseline here threw away a 4K -> 30K point
         # map on the r4 fast-preset run and starved training of seeds.
         restore(winner if accept else control[0][4])
+
+    def _snapshot_map(self):
+        """Byte-for-byte copy of the full map state (poses, points, tracks,
+        pair graph) for trial-and-restore flows (distortion multistart,
+        wide-pair trial admission)."""
+        import copy
+
+        return (self.fx, self.fy, self.k1, self.R.copy(), self.t.copy(),
+                self.points.copy(), self.has_point.copy(),
+                copy.deepcopy(self.tracks),
+                [dict(d) for d in self.img_tracks],
+                dict(self._feat_track), dict(self._dropped_obs),
+                dict(self.pair_matches), dict(self.pair_inliers))
+
+    def _restore_map(self, s):
+        import copy
+
+        (self.fx, self.fy, self.k1, R, t, pts, hp, tracks, img_tracks,
+         feat_track, dropped, pm, pi) = s
+        self.R, self.t = R.copy(), t.copy()
+        self.points, self.has_point = pts.copy(), hp.copy()
+        self.tracks = copy.deepcopy(tracks)
+        self.img_tracks = [dict(d) for d in img_tracks]
+        self._feat_track = dict(feat_track)
+        self._dropped_obs = dict(dropped)
+        self.pair_matches = dict(pm)
+        self.pair_inliers = dict(pi)
+        self._invalidate_obs()
+
+    def _trial_admit_wide_pairs(self, max_trials: int = 2) -> int:
+        """Last-resort basin escape for bent open chains.
+
+        The map-agreement gate in _augment_wide_pairs_impl measures a
+        candidate's disagreement with the CURRENT map — on a drifted chain it
+        rejects exactly the drift-correcting constraints (their disagreement
+        IS the accumulated bend). Candidates with overwhelming self-consistent
+        RANSAC support that failed only that angle gate are therefore admitted
+        ON TRIAL: merge, retriangulate, extended BA — kept only if the global
+        model then explains materially more observations at no rms cost (the
+        same _obs_consensus arbitration the distortion multistart uses).
+        Global arbitration is the only gate that can tell a drift corrector
+        from a spurious plane-texture E: the corrector's links survive BA and
+        straighten the chain; the spurious pair's links either get filtered
+        (no consensus gain) or bend the map against every existing
+        observation (rms cost). Runs only when the normal augment round made
+        no progress, so healthy captures never pay for it."""
+        cands = sorted(getattr(self, "_aug_trial_cands", []),
+                       key=lambda c: -len(c[2]))
+        if not cands:
+            return 0
+        accepted = 0
+        for a_i, b_i, gidx, ang in cands[:max_trials]:
+            snap = self._snapshot_map()
+            h0, rms0 = self._obs_consensus()
+            n_links = self._merge_matches_into_tracks(a_i, b_i, gidx)
+            self.pair_matches[(a_i, b_i)] = gidx
+            self.pair_inliers[(a_i, b_i)] = len(gidx)
+            self._retriangulate()
+            self._filter_observations()
+            if self._bundle_adjust(extended=True) is None:
+                self._restore_map(snap)
+                continue
+            h1, rms1 = self._obs_consensus()
+            keep = ((h1 >= h0 + max(4, n_links // 2) and rms1 <= rms0 * 1.05)
+                    or (h1 >= h0 and rms1 < 0.9 * rms0))
+            self.log(
+                f"trial wide pair ({a_i},{b_i}): {len(gidx)} matches, "
+                f"dR {ang:.1f} deg, h {h0}->{h1}, rms {rms0:.2f}->{rms1:.2f}px "
+                f"-> {'KEEP' if keep else 'restore'}")
+            if keep:
+                accepted += 1
+            else:
+                self._restore_map(snap)
+        self._aug_trial_cands = []
+        return accepted
 
     def _obs_consensus(self):
         """Model-comparison score for the distortion decision: the number of
@@ -1269,6 +1352,7 @@ class IncrementalMapper:
         reg = np.nonzero(self.registered)[0]
         cfg = self.cfg
         thresh_n = cfg.pixel_threshold / self.fx
+        self._aug_trial_cands: List[Tuple[int, int, np.ndarray, float]] = []
 
         # Host-side candidate collection: pose-derived E per pair (cheap numpy).
         # relative pose a->b (x_b = R x_a + t), E = [t]x R — the same
@@ -1332,26 +1416,37 @@ class IncrementalMapper:
         xa = xy_n[A[:, None], gm_idx[sel, :, 0]]  # (S, M, 2)
         xb = xy_n[B[:, None], gm_idx[sel, :, 1]]
         keys = jax.random.split(self._next_key(), len(sel))
+        # 4x the default hypothesis budget: the accept gates below sit on
+        # consensus COUNTS (strong/weak, 0.5*len floor), and at 512 hypotheses
+        # the count noise between equally-seeded runs is enough to flip a
+        # drift-correcting pair in or out — the accept loop is positive
+        # feedback (each accepted pair improves the map that gates the next
+        # round), so one flipped gate moves the ring benchmark's final drift
+        # 16% <-> 39%. 2048 hypotheses stabilize the consensus maximum; the
+        # batched dispatch amortizes the cost.
         E2_all, inl_all = essential_ransac_pairs(
             jnp.asarray(xa), jnp.asarray(xb), jnp.asarray(gm_valid[sel]),
             keys, jnp.full((len(sel),), 0.5 * thresh_n, jnp.float32),
+            num_hypotheses=2048,
         )
         inl_all = np.asarray(inl_all) & gm_valid[sel]
         R2_all, _ = decompose_essential_pairs(E2_all, xa, xb, inl_all)
 
         n_pairs = 0
         n_obs = 0
+        dbg = bool(os.environ.get("TPU_SPLAT_AUG_DEBUG"))
         for row, s in enumerate(sel):
             a_i, b_i = int(pairs[s, 0]), int(pairs[s, 1])
             R_rel = cand_Rrel[s]
             gidx = gm_idx[s][gm_valid[s]]
             inl = inl_all[row][gm_valid[s]]
             if inl.sum() < max(cfg.min_pnp_inliers, 0.5 * len(gidx)):
+                if dbg:
+                    self.log(f"aug reject ({a_i},{b_i}) span {b_i - a_i}: "
+                             f"inl {int(inl.sum())}/{len(gidx)} below floor")
                 continue
             dR = R2_all[row] @ R_rel.T
             ang = np.degrees(np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1)))
-                # Map-agreement gate, adaptive: a DRIFTED map disagrees with a
-                # TRUE wide pair by exactly the accumulated drift, so pairs
             # Map-agreement gate, adaptive: pairs whose own RANSAC support
             # is overwhelming get a loose gate (they are the drift-correcting
             # constraints); weakly supported candidates keep the strict 8
@@ -1375,7 +1470,19 @@ class IncrementalMapper:
             span = b_i - a_i
             gate = 25.0 if strong else (
                 8.0 + 2.5 * span if span <= 4 else 8.0)
+            if dbg:
+                self.log(f"aug cand ({a_i},{b_i}) span {span}: "
+                         f"inl {int(inl.sum())}/{len(gidx)} ang {ang:.1f} "
+                         f"gate {gate:.1f} strong {strong}")
             if ang > gate:
+                # Overwhelming self-support but map disagreement within a
+                # plausible-drift window: candidate for TRIAL admission with
+                # global consensus arbitration (_trial_admit_wide_pairs) —
+                # on a bent chain these are the drift correctors this gate
+                # cannot distinguish from noise.
+                if strong and ang <= 3.0 * gate:
+                    self._aug_trial_cands.append(
+                        (a_i, b_i, gidx[inl], float(ang)))
                 continue
             gidx = gidx[inl]
             n_pairs += 1
