@@ -304,12 +304,54 @@ def _tpu_reachable(timeout_s: float = 0.0) -> bool:
     return False
 
 
+def _init_device_or_die(timeout_s: float = 300.0):
+    """Initialize THIS process's device client up front, with a hard-exit
+    watchdog. Through the axon tunnel each fresh device init is a coin flip
+    (55 s healthy, minutes under load, or WEDGED FOREVER — r5 observed a
+    probe succeed and the very next init in another process hang with zero
+    CPU for 15+ min). The wedge cannot be cancelled from inside the process,
+    so the only robust shape is: init FIRST (before any ingest work), and if
+    it doesn't complete in time, os._exit so a supervisor can retry a fresh
+    process. Once the client is established, subsequent device use has been
+    stable for full-run lengths."""
+    import threading
+
+    done = threading.Event()
+
+    def watchdog():
+        if not done.wait(timeout_s):
+            print(f"device init wedged (> {timeout_s:.0f}s); exiting for "
+                  "supervisor retry", file=sys.stderr, flush=True)
+            os._exit(3)
+
+    t = threading.Thread(target=watchdog, daemon=True)
+    t.start()
+    import jax
+
+    jax.devices()  # triggers backend init; hangs forever on a wedged tunnel
+    done.set()
+
+
 def main():
     # persistent compile cache: tunnel compiles cost minutes; repeat bench
     # runs (and the driver's end-of-round run) should hit the cache
     from tpu_splat.pipeline.runner import _enable_compile_cache
 
     _enable_compile_cache()
+    if "--preset" in sys.argv:
+        # Full-scale north-star run: the main process IS the TPU client for
+        # the next ~25 min — establish (or fail) the device connection now,
+        # before the ~5 min CPU ingest phase, instead of probing in a
+        # subprocess and then wedging at the SfM boundary.
+        _init_device_or_die(float(os.environ.get("TPU_INIT_TIMEOUT_S", 300)))
+        out = bench_fast_preset()
+        print(json.dumps({
+            "metric": "fast_preset_ingest_to_splat_wall_s",
+            "value": out["wall_s"], "unit": "s (150 frames, 720p, 5K steps)",
+            "vs_baseline": round(1500.0 / out["wall_s"], 3),
+            "extra": out,
+        }))
+        return
     if not _tpu_reachable():
         # Honest failure record: the driver stores this line as the round's
         # bench; value 0 + the marker beats a silent hang. The last number
@@ -331,16 +373,6 @@ def main():
             },
         }))
         return
-    if "--preset" in sys.argv:
-        out = bench_fast_preset()
-        print(json.dumps({
-            "metric": "fast_preset_ingest_to_splat_wall_s",
-            "value": out["wall_s"], "unit": "s (150 frames, 720p, 5K steps)",
-            "vs_baseline": round(1500.0 / out["wall_s"], 3),
-            "extra": out,
-        }))
-        return
-
     its = bench_train_throughput()
     extra = {}
     if os.environ.get("BENCH_TRAIN_ONLY", "0") != "1":

@@ -122,6 +122,27 @@ def _pad_pow2(n: int, floor: int = 1024) -> int:
     return max(floor, 1 << int(math.ceil(math.log2(max(n, 1)))))
 
 
+def _pad_bucket(n: int, floor: int = 1024) -> int:
+    """Quarter-pow2 padding buckets (2^k, 1.25*2^k, 1.5*2^k, 1.75*2^k).
+
+    Shape-bucketed dispatches trade compiles for padding waste: full pow-2
+    buckets waste up to 2x compute exactly where it hurts (the r5 full-scale
+    run padded 137K BA observations to 262K — ~1.9x on every extended BA,
+    the second-largest SfM phase). Quarter steps cap the waste at 25% for
+    4x the shape count; with the persistent compile cache the extra
+    compiles amortize across runs. Keep the result a multiple of 256 for
+    layout friendliness."""
+    n = max(n, 1)
+    if n <= floor:
+        return floor
+    base = 1 << int(math.floor(math.log2(n)))
+    for mult in (1.0, 1.25, 1.5, 1.75, 2.0):
+        cap = int(base * mult)
+        if n <= cap:
+            return (cap + 255) // 256 * 256 if cap >= 256 else cap
+    return 2 * base
+
+
 class IncrementalMapper:
     """Host-side driver. Use run_sfm() for the one-call API."""
 
@@ -851,7 +872,10 @@ class IncrementalMapper:
         # or the cycle budget is spent (6 cycles ~ +50 s at 150 x 720p,
         # inside the SfM envelope).
         prev_rms = None
-        for _ in range(6):
+        # At scale each extended BA is ~30s; two polish cycles capture the
+        # retriangulation benefit (the later cycles move rms <0.5% — and on
+        # bend-stationary open chains, exactly 0).
+        for _ in range(4 if self.n < 48 else 2):
             self._filter_observations()
             self._retriangulate()
             rms = self._bundle_adjust(extended=True)
@@ -1416,18 +1440,21 @@ class IncrementalMapper:
         xa = xy_n[A[:, None], gm_idx[sel, :, 0]]  # (S, M, 2)
         xb = xy_n[B[:, None], gm_idx[sel, :, 1]]
         keys = jax.random.split(self._next_key(), len(sel))
-        # 4x the default hypothesis budget: the accept gates below sit on
-        # consensus COUNTS (strong/weak, 0.5*len floor), and at 512 hypotheses
-        # the count noise between equally-seeded runs is enough to flip a
-        # drift-correcting pair in or out — the accept loop is positive
-        # feedback (each accepted pair improves the map that gates the next
-        # round), so one flipped gate moves the ring benchmark's final drift
-        # 16% <-> 39%. 2048 hypotheses stabilize the consensus maximum; the
-        # batched dispatch amortizes the cost.
+        # Scale-aware hypothesis budget. Small scenes: the accept gates below
+        # sit on consensus COUNTS (strong/weak, 0.5*len floor), and at 512
+        # hypotheses the count noise between equally-seeded runs is enough to
+        # flip a drift-correcting pair in or out — the accept loop is
+        # positive feedback (each accepted pair improves the map that gates
+        # the next round), so one flipped gate moves the ring benchmark's
+        # final drift 16% <-> 39%; 2048 hypotheses stabilize the consensus
+        # maximum. At scale (>=48 images) guided matches are dense and the
+        # gates sit far from their floors — 1024 measures identically and
+        # halves the largest SfM phase's RANSAC share (augment was 379s of
+        # the 1604s full-scale run).
         E2_all, inl_all = essential_ransac_pairs(
             jnp.asarray(xa), jnp.asarray(xb), jnp.asarray(gm_valid[sel]),
             keys, jnp.full((len(sel),), 0.5 * thresh_n, jnp.float32),
-            num_hypotheses=2048,
+            num_hypotheses=2048 if self.n < 48 else 1024,
         )
         inl_all = np.asarray(inl_all) & gm_valid[sel]
         R2_all, _ = decompose_essential_pairs(E2_all, xa, xb, inl_all)
@@ -1880,22 +1907,32 @@ class IncrementalMapper:
 
     def _bundle_adjust(self, extended: bool = False,
                        force_focal: bool = False,
-                       refine_k1: bool = False) -> Optional[float]:
+                       refine_k1: bool = False,
+                       cg_scale: int = 1) -> Optional[float]:
         """One BA round over the current map. Returns the posterior
-        reprojection rms in pixels (None if the map is too small to adjust)."""
+        reprojection rms in pixels (None if the map is too small to adjust).
+
+        cg_scale deepens the CG chain per outer iteration WITHOUT adding
+        outer rounds: the Jacobi preconditioner is local, so the global
+        low-curvature modes of an open camera chain (the bend that shows up
+        as end-to-end drift) are the slowest CG directions — they need long
+        chains, and restarting CG each outer round resets their progress.
+        Used by the final convergence polish only."""
         with self._timed("ba_ext" if extended else "ba"):
-            return self._bundle_adjust_impl(extended, force_focal, refine_k1)
+            return self._bundle_adjust_impl(extended, force_focal, refine_k1,
+                                            cg_scale)
 
     def _bundle_adjust_impl(self, extended: bool = False,
                             force_focal: bool = False,
-                            refine_k1: bool = False) -> Optional[float]:
+                            refine_k1: bool = False,
+                            cg_scale: int = 1) -> Optional[float]:
         if self.registered.sum() < 2 or self.has_point.sum() < 8:
             return None
         self._last_ba_reg = int(self.registered.sum())
         cfg = self.cfg
         cam_ids, live, obs_cam, obs_pt, obs_uv = self._gather_observations()
         o = len(obs_cam)
-        pad = _pad_pow2(o, floor=2048)
+        pad = _pad_bucket(o, floor=2048)
         oc = np.zeros(pad, np.int32)
         op = np.zeros(pad, np.int32)
         ouv = np.zeros((pad, 2), np.float32)
@@ -1916,7 +1953,7 @@ class IncrementalMapper:
         Rp[:c] = self.R[cam_ids]
         tp[:c] = self.t[cam_ids]
         npts = len(live)
-        ppad = _pad_pow2(npts, floor=1024)
+        ppad = _pad_bucket(npts, floor=1024)
         Xp = np.zeros((ppad, 3), np.float32)
         Xp[:npts] = self.points[live]
 
@@ -1958,7 +1995,7 @@ class IncrementalMapper:
             problem,
             huber_delta=cfg.pixel_threshold / self.fx,
             outer_iters=cfg.ba_outer_iters * (3 if extended else 1),
-            cg_iters=cfg.ba_cg_iters * (2 if extended else 1),
+            cg_iters=cfg.ba_cg_iters * (2 if extended else 1) * cg_scale,
             optimize_focal=refine_focal,
             optimize_k1=refine_k1,
         )
